@@ -1,0 +1,114 @@
+"""Feature-space nearest-neighbor search as a tiled on-device distance scan.
+
+TPU-native replacement for core/knn.py:23-74 (chunked brute-force pairwise
+distances). Instead of materializing the [N0, N1] distance matrix (the reference
+bounds memory by `nn_max_n` row chunks), we stream column tiles of F1 through a
+running-min scan — flash-attention-style: per tile, one [N0, C] x [C, tile]
+matmul on the MXU plus a masked min/argmin update. Peak memory is O(N0 * tile).
+
+Padded rows (>= num) are excluded on both sides: invalid queries return index 0
+with +inf distance; invalid targets never win the min.
+
+Precision: the cross-term matmul runs at float32 MXU precision
+(``Precision.HIGHEST``) by default. With the TPU's default bf16 MXU passes the
+expansion ``|a|^2 - 2 a.b + |b|^2`` cancels catastrophically (observed ~0.02
+absolute error on *exact* matches, which breaks argmin ties and near-neighbor
+ordering). The distance matmul is a tiny fraction of pipeline FLOPs, so f32
+here is essentially free.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_TILE = 4096
+_INF = jnp.float32(jnp.inf)
+
+
+def find_nn(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray, num1: jnp.ndarray,
+            tile: int = _TILE) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-nearest-neighbor of each F0 row among valid F1 rows (squared L2).
+
+    F0: [N0, C], F1: [N1, C]. Returns (idx [N0] int32, sqdist [N0] f32).
+    """
+    n0, c = F0.shape
+    n1 = F1.shape[0]
+    tile = min(tile, n1)
+    n_tiles = -(-n1 // tile)
+    pad_n1 = n_tiles * tile
+    F1p = jnp.pad(F1, ((0, pad_n1 - n1), (0, 0)))
+    F1t = F1p.reshape(n_tiles, tile, c)
+
+    sq0 = jnp.sum(F0.astype(jnp.float32) ** 2, axis=1)  # [N0]
+
+    def body(carry, inputs):
+        best_d, best_i = carry
+        f1_tile, tile_start = inputs
+        sq1 = jnp.sum(f1_tile.astype(jnp.float32) ** 2, axis=1)  # [tile]
+        cross = jnp.dot(F0, f1_tile.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = sq0[:, None] - 2.0 * cross + sq1[None, :]
+        col = tile_start + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        d = jnp.where(col < num1, d, _INF)
+        tmin = jnp.min(d, axis=1)
+        targ = jnp.argmin(d, axis=1).astype(jnp.int32) + tile_start
+        upd = tmin < best_d
+        return (jnp.where(upd, tmin, best_d), jnp.where(upd, targ, best_i)), None
+
+    init = (jnp.full((n0,), _INF), jnp.zeros((n0,), jnp.int32))
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (best_d, best_i), _ = jax.lax.scan(body, init, (F1t, starts))
+    q_valid = jnp.arange(n0, dtype=jnp.int32) < num0
+    return jnp.where(q_valid, best_i, 0), jnp.where(q_valid, best_d, _INF)
+
+
+def find_knn(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray, num1: jnp.ndarray,
+             k: int, tile: int = _TILE) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k-nearest-neighbors (squared L2), ascending by distance.
+
+    Merges per-tile top-k with the running top-k (total work one extra sort of
+    2k candidates per row per tile). Returns (idx [N0, k], sqdist [N0, k]).
+    """
+    n0, c = F0.shape
+    n1 = F1.shape[0]
+    tile = max(min(tile, n1), k)
+    n_tiles = -(-n1 // tile)
+    pad_n1 = n_tiles * tile
+    F1p = jnp.pad(F1, ((0, pad_n1 - n1), (0, 0)))
+    F1t = F1p.reshape(n_tiles, tile, c)
+    sq0 = jnp.sum(F0.astype(jnp.float32) ** 2, axis=1)
+
+    def body(carry, inputs):
+        best_d, best_i = carry  # [N0, k]
+        f1_tile, tile_start = inputs
+        sq1 = jnp.sum(f1_tile.astype(jnp.float32) ** 2, axis=1)
+        cross = jnp.dot(F0, f1_tile.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+        d = sq0[:, None] - 2.0 * cross + sq1[None, :]
+        col = tile_start + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        d = jnp.where(col < num1, d, _INF)
+        td, ti = jax.lax.top_k(-d, k)
+        cand_d = jnp.concatenate([best_d, -td], axis=1)  # [N0, 2k]
+        cand_i = jnp.concatenate([best_i, ti.astype(jnp.int32) + tile_start], axis=1)
+        md, mpos = jax.lax.top_k(-cand_d, k)
+        return (-md, jnp.take_along_axis(cand_i, mpos, axis=1)), None
+
+    init = (jnp.full((n0, k), _INF), jnp.zeros((n0, k), jnp.int32))
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    (best_d, best_i), _ = jax.lax.scan(body, init, (F1t, starts))
+    q_valid = (jnp.arange(n0, dtype=jnp.int32) < num0)[:, None]
+    return jnp.where(q_valid, best_i, 0), jnp.where(q_valid, best_d, _INF)
+
+
+def find_nn_xyz(xyz0: jnp.ndarray, xyz1: jnp.ndarray, num0: jnp.ndarray,
+                num1: jnp.ndarray, tile: int = _TILE) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Spatial 1-NN (used by ICP and GT correspondence checks); same scan over 3D."""
+    return find_nn(xyz0, xyz1, num0, num1, tile=tile)
+
+
+# Batched over pairs: the reference's find_knn_batch (core/knn.py:77-140) loops
+# per-pair segments; here pairs are stacked [B, N, C] and vmapped.
+find_nn_batch = jax.vmap(find_nn, in_axes=(0, 0, 0, 0))
