@@ -1,0 +1,89 @@
+"""SE(3) refinement: closed-form init + robust gradient descent, fully jitted.
+
+Rebuilds core/registration.py:135-194 (GlobalRegistration) as a
+``jax.lax.while_loop``: weighted Procrustes initialization, then Adam on a
+(rot6d, trans) parameterization minimizing the weighted HighDimSmoothL1 loss,
+with the reference's exact stopping rules — loss < 1e-7, or `max_break_count`
+consecutive steps whose relative improvement is below `break_threshold_ratio`,
+or `max_iter` steps. The learning rate decays by gamma=0.999 each step
+(torch ExponentialLR per-step equivalence).
+
+The reference syncs loss to host every iteration (registration.py:172-187); here
+the entire loop runs on device — the single biggest structural win over the
+CUDA pipeline for this stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import losses, procrustes, se3
+
+
+class RefineResult(NamedTuple):
+    R: jnp.ndarray  # [3, 3]
+    t: jnp.ndarray  # [3]
+    iterations: jnp.ndarray  # int32
+    loss: jnp.ndarray  # f32
+    break_count: jnp.ndarray  # int32
+
+
+def global_registration(points: jnp.ndarray, trans_points: jnp.ndarray,
+                        weights: jnp.ndarray, max_iter: int = 1000,
+                        max_break_count: int = 20,
+                        break_threshold_ratio: float = 1e-4,
+                        quantization_size: float = 1.0,
+                        lr: float = 1e-1, gamma: float = 0.999) -> RefineResult:
+    """Refine the rigid alignment of weighted correspondences.
+
+    points, trans_points: [N, 3] padded; weights: [N] (0 on padding rows).
+    Defaults mirror the inference call site (deep_global_registration.py:283-289:
+    break_threshold_ratio=1e-4, quantization_size=2*voxel).
+    """
+    eps = 1.1920929e-07
+    weights = jax.lax.stop_gradient(weights.astype(jnp.float32))
+    w1 = jnp.sum(weights)
+
+    R0, t0 = procrustes.weighted_procrustes(points, trans_points, weights, eps=eps)
+    rot6d = se3.rotation_to_rot6d(R0)[None]  # [1, 6]
+    trans = t0[None]  # [1, 3]
+    params = {"rot6d": rot6d, "trans": trans}
+
+    def loss_fn(p):
+        R = se3.ortho2rotation(p["rot6d"])[0]
+        moved = points @ R.T + p["trans"]
+        return losses.high_dim_smooth_l1(moved, trans_points, weights,
+                                         quantization_size=quantization_size,
+                                         eps=eps, w1=w1)
+
+    schedule = optax.exponential_decay(lr, transition_steps=1, decay_rate=gamma)
+    opt = optax.adam(schedule)
+    opt_state = opt.init(params)
+    loss_init = loss_fn(params)
+
+    def cond(carry):
+        _, _, _, loss_prev, loss_cur, break_count, i = carry
+        return ((i < max_iter) & (loss_cur >= 1e-7)
+                & (break_count < max_break_count))
+
+    def body(carry):
+        params, opt_state, _, loss_prev, loss_cur, break_count, i = carry
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        new_params = optax.apply_updates(params, updates)
+        plateau = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
+        break_count = jnp.where(plateau, break_count + 1, break_count)
+        new_loss = loss_fn(new_params)
+        return (new_params, opt_state, params, loss, new_loss, break_count, i + 1)
+
+    init = (params, opt_state, params, loss_init, loss_init,
+            jnp.int32(0), jnp.int32(0))
+    params, _, _, _, loss_cur, break_count, i = jax.lax.while_loop(cond, body, init)
+
+    R = se3.ortho2rotation(params["rot6d"])[0]
+    t = params["trans"][0]
+    return RefineResult(R=R, t=t, iterations=i, loss=loss_cur, break_count=break_count)

@@ -1,0 +1,82 @@
+"""Shared model building blocks: norm/nonlinearity application, conv params.
+
+Mirrors model/common.py:11-31 (get_norm/get_nonlinearity) and the conv factories
+of model/residual_block.py:15-80, re-expressed as functional param pytrees.
+
+Parameter layout mirrors MinkowskiEngine state_dict structure so the torch
+checkpoint converter is a direct name map:
+- conv:  {"kernel": [K, Cin, Cout]} (+ "bias": [Cout])
+- BN:    params {"weight": [C], "bias": [C]}, state {"mean": [C], "var": [C]}
+  (ME's MinkowskiBatchNorm stores these under `<name>.bn.*`)
+- IN:    no parameters (ME MinkowskiInstanceNorm).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import sparse_conv as sc
+
+Params = Dict[str, Any]
+
+
+def init_conv(key: jax.Array, k: int, cin: int, cout: int, bias: bool = False) -> Params:
+    """Kaiming-style init over the fan-in (kernel_volume * Cin)."""
+    std = (2.0 / (k * cin)) ** 0.5
+    p = {"kernel": jax.random.normal(key, (k, cin, cout), jnp.float32) * std}
+    if bias:
+        p["bias"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def init_norm(norm_type: str, c: int) -> Tuple[Params, Params]:
+    """Returns (params, state) for a norm layer of the given type."""
+    if norm_type == "BN" or norm_type == "INBN":
+        return ({"weight": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)},
+                {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)})
+    if norm_type == "IN":
+        return {}, {}
+    raise ValueError(f"norm type {norm_type} not defined")
+
+
+def apply_norm(norm_type: str, params: Params, state: Params, feats: jnp.ndarray,
+               mask: jnp.ndarray, train: bool, bn_momentum: float):
+    """Apply BN / IN / IN+BN over padded sparse features (mask = valid rows).
+
+    feats: [B, N, C] (BN stats span the whole batch, like torch); mask [B, N].
+    Returns (out, new_state).
+    """
+    if norm_type == "IN":
+        # per-instance stats: vmap instance_norm over batch
+        out = jax.vmap(sc.instance_norm)(feats, mask)
+        return out, state
+    if norm_type == "INBN":
+        feats = jax.vmap(sc.instance_norm)(feats, mask)
+        norm_type = "BN"
+    if norm_type == "BN":
+        if train:
+            out, nm, nv = sc.batch_norm_train(feats, mask, params["weight"], params["bias"],
+                                              state["mean"], state["var"], bn_momentum)
+            return out, {"mean": nm, "var": nv}
+        out = sc.batch_norm_infer(feats, params["weight"], params["bias"],
+                                  state["mean"], state["var"])
+        return out, state
+    raise ValueError(f"norm type {norm_type} not defined")
+
+
+def apply_nonlinearity(kind: str, feats: jnp.ndarray) -> jnp.ndarray:
+    """model/common.py:24-31: ReLU or ELU."""
+    if kind == "ReLU":
+        return sc.relu(feats)
+    if kind == "ELU":
+        return sc.elu(feats)
+    raise ValueError(f"nonlinearity {kind} not defined")
+
+
+def apply_conv_batched(params: Params, feats: jnp.ndarray, kmap: jnp.ndarray) -> jnp.ndarray:
+    """Batched sparse conv: feats [B, N, Cin], kmap [B, K, M] -> [B, M, Cout]."""
+    bias = params.get("bias")
+    return jax.vmap(lambda f, km: sc.sparse_conv(f, params["kernel"], km, bias=bias))(feats, kmap)

@@ -2,22 +2,28 @@
 
 This module replaces MinkowskiEngine's C++ coordinate hash maps (the engine behind
 ``ME.utils.sparse_quantize`` / the coordinate manager; see reference usage at
-core/deep_global_registration.py:152,158 and model kernel maps) with a sort-based
-design that is fully jittable under XLA's static-shape model:
+core/deep_global_registration.py:152,158 and model kernel maps) with a design
+that is fully jittable under XLA's static-shape model and fast on TPU:
 
 - Integer coordinate rows are packed *exactly* (no collisions) into a tuple of
   uint32 "key words", 16 bits per coordinate field, lexicographically ordered.
-- A "table" over a coordinate set is the lexicographically sorted key words plus
-  the sort permutation (``CoordTable``).
-- Lookup is a vectorized branch-free binary search (``lookup``): all queries probe
-  the sorted table in lockstep, O(log N) gather rounds — the TPU analogue of a
-  hash-table probe, but with perfectly coalesced vector lanes.
+- A ``CoordTable`` is a **bucketed hash table in sorted-array form**: entries are
+  sorted by (murmur-mixed bucket id, key words); a dense ``starts`` array maps
+  each bucket to its contiguous slot range.
+- ``lookup`` is a **single parallel window probe**: each query hashes to its
+  bucket and compares against ``_PROBE`` consecutive slots in one vectorized
+  gather wave — no sequential binary-search rounds (a 17-round binary search
+  measured ~20x slower at kernel-map scale because every round is a dependent
+  gather). With ``buckets >= 8 * capacity`` the max bucket load exceeding the
+  probe window has negligible probability; the build records an ``overflow``
+  flag so callers can detect the (astronomically rare) violation instead of
+  silently missing entries.
 - ``unique_rows`` dedups coordinate rows (voxel quantization) via sort + boundary
   detection + cumsum compaction, selecting the *smallest original index* as the
   representative of each voxel (deterministic; ME picks an arbitrary one).
 
-All functions operate on a single cloud of shape [N, D] with a scalar ``num`` count
-of valid rows (rows >= num are padding). Batch via ``jax.vmap``.
+All functions operate on a single cloud of shape [N, D] with a scalar ``num``
+count of valid rows (rows >= num are padding). Batch via ``jax.vmap``.
 
 Coordinate range: each field must fit in 16 bits after the +2^15 offset, i.e.
 coords in [-32768, 32766]. Out-of-range coordinates are clamped (clamp collisions
@@ -27,7 +33,6 @@ then merge distinct voxels — harmless for the shipped voxel sizes: 3DMatch 0.0
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Sequence, Tuple
 
 import jax
@@ -35,10 +40,16 @@ import jax.numpy as jnp
 
 # Per-field encoding: value + 2^15 clipped to [0, 2^16 - 2]. The all-ones field
 # value (0xFFFF) is reserved so that the all-ones *word* (0xFFFFFFFF) marks padded
-# rows, which therefore sort strictly after every valid row and never match a query.
+# rows, which therefore never match any valid query.
 _FIELD_OFFSET = 1 << 15
 _FIELD_MAX = (1 << 16) - 2
 _PAD_WORD = jnp.uint32(0xFFFFFFFF)
+
+# Window-probe width and bucket over-provisioning factor. With B = 8N buckets,
+# P(max load > 8) is ~1e-9 even at N = 2^20 for a well-mixed hash.
+_PROBE = 8
+_BUCKET_FACTOR = 8
+_MAX_BUCKETS = 1 << 21
 
 
 def num_words(d: int) -> int:
@@ -66,65 +77,76 @@ def pack_rows(coords: jnp.ndarray, valid: jnp.ndarray | None = None) -> Tuple[jn
     return tuple(words)
 
 
-def _lex_less(a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Elementwise lexicographic a < b over tuples of uint32 word arrays."""
-    lt = jnp.zeros(a[0].shape, dtype=bool)
-    eq = jnp.ones(a[0].shape, dtype=bool)
-    for aw, bw in zip(a, b):
-        lt = lt | (eq & (aw < bw))
-        eq = eq & (aw == bw)
-    return lt
-
-
 def _lex_eq(a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    eq = jnp.ones(a[0].shape, dtype=bool)
+    eq = jnp.ones(jnp.broadcast_shapes(a[0].shape, b[0].shape), dtype=bool)
     for aw, bw in zip(a, b):
         eq = eq & (aw == bw)
     return eq
 
 
-class CoordTable(NamedTuple):
-    """Sorted lookup table over a coordinate set.
+def _mix(words: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Murmur3-style 32-bit mix of the key words (uint32, wrapping arithmetic)."""
+    h = jnp.uint32(0x9E3779B9)
+    for w in words:
+        k = w * jnp.uint32(0xCC9E2D51)
+        k = (k << 15) | (k >> 17)
+        k = k * jnp.uint32(0x1B873593)
+        h = h ^ k
+        h = ((h << 13) | (h >> 19)) * jnp.uint32(5) + jnp.uint32(0xE6546B64)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
 
-    words: tuple of W uint32 arrays [N] — lexicographically sorted keys
-           (padded rows hold the all-ones pad key and sort last).
-    perm:  int32 [N] — original row index of each sorted entry.
-    num:   int32 scalar — number of valid rows.
+
+def _num_buckets(capacity: int) -> int:
+    b = 1
+    while b < capacity * _BUCKET_FACTOR and b < _MAX_BUCKETS:
+        b <<= 1
+    return b
+
+
+class CoordTable(NamedTuple):
+    """Bucketed hash table over a coordinate set, in sorted-array form.
+
+    words:    tuple of W uint32 arrays [N] — keys sorted by (bucket, key words);
+              padded rows hold the all-ones pad key and sort last.
+    perm:     int32 [N] — original row index of each sorted entry.
+    starts:   int32 [B + 1] — slot range of each bucket (B static, power of 2).
+    overflow: bool scalar — True if any bucket holds more than the probe window
+              (lookups could then miss; callers should surface this).
+    num:      int32 scalar — number of valid rows.
     """
 
     words: Tuple[jnp.ndarray, ...]
     perm: jnp.ndarray
+    starts: jnp.ndarray
+    overflow: jnp.ndarray
     num: jnp.ndarray
 
 
 def build_table(coords: jnp.ndarray, num: jnp.ndarray) -> CoordTable:
-    """Build a sorted lookup table from coordinate rows [N, D] with ``num`` valid."""
+    """Build the bucketed lookup table from coordinate rows [N, D], ``num`` valid."""
     n = coords.shape[0]
+    b = _num_buckets(n)
     valid = jnp.arange(n, dtype=jnp.int32) < num
     words = pack_rows(coords, valid)
+    bucket = (_mix(words) & jnp.uint32(b - 1)).astype(jnp.int32)
+    bucket = jnp.where(valid, bucket, b)  # padding sorts after every real bucket
     idx = jnp.arange(n, dtype=jnp.int32)
-    # Secondary sort key = original index => stable, deterministic representatives.
-    sorted_ops = jax.lax.sort(tuple(words) + (idx,), num_keys=len(words) + 1)
-    return CoordTable(words=tuple(sorted_ops[:-1]), perm=sorted_ops[-1], num=num)
+    # Same defensive pattern as unique_rows: consume only the sort's permutation
+    # output and gather the rest (see XLA:TPU miscompilation note there).
+    sorted_ops = jax.lax.sort((bucket,) + tuple(words) + (idx,), num_keys=len(words) + 2)
+    s_perm = sorted_ops[-1]
+    s_bucket = bucket[s_perm]
+    s_words = tuple(w[s_perm] for w in words)
 
-
-def _searchsorted(table_words: Sequence[jnp.ndarray], query_words: Sequence[jnp.ndarray]) -> jnp.ndarray:
-    """Vectorized lower_bound: first position p with table[p] >= query. [Q] int32."""
-    n = table_words[0].shape[0]
-    q = query_words[0].shape[0]
-    lo = jnp.zeros((q,), dtype=jnp.int32)
-    hi = jnp.full((q,), n, dtype=jnp.int32)
-    steps = max(1, math.ceil(math.log2(n + 1)))
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = (lo + hi) >> 1
-        tw = tuple(w[mid] for w in table_words)
-        less = _lex_less(tw, query_words)  # table[mid] < query
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
-    return lo
+    counts = jnp.zeros((b + 1,), jnp.int32).at[s_bucket].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:b])])
+    overflow = jnp.max(counts[:b]) > _PROBE
+    return CoordTable(words=s_words, perm=s_perm, starts=starts, overflow=overflow, num=num)
 
 
 def lookup(table: CoordTable, query_coords: jnp.ndarray,
@@ -132,46 +154,91 @@ def lookup(table: CoordTable, query_coords: jnp.ndarray,
     """Find each query row in the table. Returns original row indices, -1 if absent.
 
     query_coords: [Q, D] int32. Padded/invalid queries (mask False) return -1.
+    One vectorized window probe: gather _PROBE consecutive slots per query and
+    compare keys — no data-dependent control flow.
     """
-    qwords = pack_rows(query_coords, query_valid)
-    pos = _searchsorted(table.words, qwords)
     n = table.words[0].shape[0]
-    pos_c = jnp.minimum(pos, n - 1)
-    tw = tuple(w[pos_c] for w in table.words)
-    # Pad keys are all-ones and valid queries are never all-ones, so equality alone
-    # rejects padded table rows; invalid queries were packed to the pad key which
-    # never appears among valid table entries.
-    found = _lex_eq(tw, qwords) & jnp.logical_not(_lex_eq(qwords, (_PAD_WORD,) * len(qwords)))
-    return jnp.where(found, table.perm[pos_c], -1).astype(jnp.int32)
+    b = table.starts.shape[0] - 1
+    qwords = pack_rows(query_coords, query_valid)
+    bucket = (_mix(qwords) & jnp.uint32(b - 1)).astype(jnp.int32)
+    lo = table.starts[bucket]  # [Q]
+    slots = jnp.minimum(lo[:, None] + jnp.arange(_PROBE, dtype=jnp.int32)[None, :], n - 1)
+    eq = _lex_eq(tuple(w[slots] for w in table.words),
+                 tuple(w[:, None] for w in qwords))  # [Q, P]
+    # Valid queries never pack to the pad key, and pad table rows hold the pad
+    # key, so equality alone rejects both padding directions.
+    if query_valid is not None:
+        eq = eq & query_valid[:, None]
+    found = jnp.any(eq, axis=1)
+    pos = jnp.where(eq, slots, 0).max(axis=1)  # the (unique) matching slot
+    return jnp.where(found, table.perm[pos], -1).astype(jnp.int32)
 
 
 def unique_rows(coords: jnp.ndarray, num: jnp.ndarray,
-                pad_value: int = _FIELD_MAX - _FIELD_OFFSET) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                out_capacity: int | None = None,
+                pad_value: int = _FIELD_MAX - _FIELD_OFFSET,
+                claim_rounds: int = 3,
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Deduplicate coordinate rows (the TPU-native ``ME.utils.sparse_quantize``).
 
     Reference behavior: ME sparse_quantize dedups voxel coords and returns the
     index of one representative point per voxel (deep_global_registration.py:152).
     We deterministically keep the smallest original row index per voxel.
 
-    Returns (unique_coords [N, D], num_unique scalar, src_index [N] int32):
-    rows [0, num_unique) of unique_coords are the distinct valid rows in
-    lexicographic order; src_index[i] is the original row the i-th unique row came
-    from (undefined >= num_unique; coords there are ``pad_value``).
+    Algorithm — **scatter-min bucket claiming**, no sort: every row scatter-mins
+    its index into a hashed bucket; the winner is the representative of every
+    row whose key matches the winner's (rows of one key always share a bucket,
+    and scatter-min picks the smallest index). Rows whose bucket was claimed by
+    a *different* key (hash collision) retry in a fresh table with a re-mixed
+    hash; after ``claim_rounds`` rounds the leftover probability is negligible
+    and stragglers become their own representatives (worst case: a duplicate
+    coordinate survives — harmless for downstream kernel maps, never data loss).
+
+    This formulation replaces an earlier lexicographic-sort + adjacent-compare
+    dedup that was repeatedly miscompiled by the axon TPU backend (jax 0.9.0:
+    the boundary comparison of the second packed key word was dropped under
+    several fusion patterns, collapsing dedup to (x, y) only). It is also
+    faster: 3 scatter/gather waves beat a 3-operand bitonic sort.
+    tools/tpu_regression_checks.py guards this on real hardware.
+
+    out_capacity: static size of the output buffers (default: same as input).
+    If the number of distinct rows exceeds it, the excess rows are dropped and
+    the returned count saturates at out_capacity (callers size capacities so
+    this never triggers on real data; padded pyramid levels shrink ~4-8x per
+    stride in surface scans).
+
+    Returns (unique_coords [M, D], num_unique scalar, src_index [M] int32):
+    rows [0, num_unique) are the distinct valid rows (ordered by original row
+    index); src_index[i] is the original row the i-th unique row came from
+    (undefined past num_unique; coords there are ``pad_value``).
     """
     n, d = coords.shape
-    table = build_table(coords, num)  # sorted; ties broken by smallest index
-    sw = table.words
+    m = n if out_capacity is None else int(out_capacity)
+    b = _num_buckets(n)
     iota = jnp.arange(n, dtype=jnp.int32)
-    prev = tuple(jnp.concatenate([w[:1] ^ jnp.uint32(1), w[:-1]]) for w in sw)  # force first row "different"
-    is_first = jnp.logical_not(_lex_eq(sw, prev))
-    # Padded rows sort last, so the first `num` sorted rows are exactly the valid ones.
-    is_first = is_first & (iota < num)
-    pos = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    num_unique = jnp.sum(is_first.astype(jnp.int32))
+    valid = iota < num
+    words = pack_rows(coords, valid)
 
-    sorted_coords = coords[table.perm]
-    out = jnp.full((n + 1, d), pad_value, dtype=coords.dtype)
-    out = out.at[jnp.where(is_first, pos, n)].set(sorted_coords)
-    src = jnp.full((n + 1,), 0, dtype=jnp.int32)
-    src = src.at[jnp.where(is_first, pos, n)].set(table.perm)
-    return out[:n], num_unique, src[:n]
+    rep = jnp.full((n,), -1, jnp.int32)
+    unresolved = valid
+    for rnd in range(claim_rounds):
+        h = _mix(words + (jnp.full((n,), rnd, jnp.uint32),)) & jnp.uint32(b - 1)
+        h = jnp.where(unresolved, h.astype(jnp.int32), b)  # resolved/padded rows opt out
+        table = jnp.full((b,), n, jnp.int32).at[h].min(iota, mode="drop")
+        claimant = table[jnp.minimum(h, b - 1)]
+        claimant_c = jnp.minimum(claimant, n - 1)
+        same_key = _lex_eq(tuple(w[claimant_c] for w in words), words)
+        resolved = unresolved & (claimant < n) & same_key
+        rep = jnp.where(resolved, claimant, rep)
+        unresolved = unresolved & jnp.logical_not(resolved)
+    rep = jnp.where(unresolved, iota, rep)  # stragglers self-represent
+
+    is_rep = valid & (rep == iota)
+    pos = jnp.cumsum(is_rep.astype(jnp.int32)) - 1
+    num_unique = jnp.minimum(jnp.sum(is_rep.astype(jnp.int32)), m)
+    tgt = jnp.where(is_rep & (pos < m), pos, m)  # out-of-range -> dropped row m
+    out = jnp.full((m + 1, d), pad_value, dtype=coords.dtype)
+    out = out.at[tgt].set(coords, mode="drop")
+    src = jnp.zeros((m + 1,), dtype=jnp.int32)
+    src = src.at[tgt].set(iota, mode="drop")
+    return out[:m], num_unique, src[:m]

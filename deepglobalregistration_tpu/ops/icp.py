@@ -1,0 +1,70 @@
+"""Point-to-point ICP polish — jitted, matching Open3D semantics.
+
+Replaces o3d.pipelines.registration.registration_icp (reference usage:
+deep_global_registration.py:317-322 with max_correspondence_distance =
+2 * voxel_size; kitti_loader.py:151-153 for GT refinement). Each iteration:
+nearest target neighbor of every transformed source point (tiled spatial scan,
+ops/knn.py), gate by max distance, closed-form Procrustes on the gated pairs.
+Convergence mirrors o3d ICPConvergenceCriteria defaults: max_iteration=30,
+relative_fitness=1e-6, relative_rmse=1e-6.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import knn, procrustes, se3
+
+
+class ICPResult(NamedTuple):
+    T: jnp.ndarray  # [4, 4]
+    fitness: jnp.ndarray
+    inlier_rmse: jnp.ndarray
+    iterations: jnp.ndarray
+
+
+def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndarray,
+                     num_tgt: jnp.ndarray, max_correspondence_distance: float,
+                     init: jnp.ndarray | None = None, max_iteration: int = 30,
+                     relative_fitness: float = 1e-6,
+                     relative_rmse: float = 1e-6) -> ICPResult:
+    """source/target: [N, 3] padded; init: [4, 4] initial transform."""
+    n = source.shape[0]
+    T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
+    src_valid = jnp.arange(n, dtype=jnp.int32) < num_src
+    thresh2 = max_correspondence_distance ** 2
+
+    def evaluate(T):
+        moved = se3.apply_transform(source, T)
+        idx, d2 = knn.find_nn(moved, target, num_src, num_tgt)
+        inl = (d2 < thresh2) & src_valid
+        cnt = jnp.sum(inl.astype(jnp.float32))
+        fitness = cnt / jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)
+        rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(cnt, 1.0))
+        return idx, inl, fitness, rmse
+
+    idx0, inl0, fit0, rmse0 = evaluate(T0)
+
+    def cond(carry):
+        T, fit, rmse, prev_fit, prev_rmse, i, done = carry
+        return (i < max_iteration) & jnp.logical_not(done)
+
+    def body(carry):
+        T, fit, rmse, prev_fit, prev_rmse, i, _ = carry
+        moved = se3.apply_transform(source, T)
+        idx, d2 = knn.find_nn(moved, target, num_src, num_tgt)
+        w = ((d2 < thresh2) & src_valid).astype(jnp.float32)
+        # o3d estimates the *update* on already-moved points, composed into T.
+        R, t = procrustes.weighted_procrustes(moved, target[idx], w)
+        T_new = se3.rt_to_matrix(R, t) @ T
+        _, _, fit_new, rmse_new = evaluate(T_new)
+        done = (jnp.abs(fit_new - fit) < relative_fitness) & \
+               (jnp.abs(rmse_new - rmse) < relative_rmse)
+        return (T_new, fit_new, rmse_new, fit, rmse, i + 1, done)
+
+    init_carry = (T0, fit0, rmse0, fit0, rmse0, jnp.int32(0), jnp.bool_(False))
+    T, fit, rmse, _, _, i, _ = jax.lax.while_loop(cond, body, init_carry)
+    return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, iterations=i)

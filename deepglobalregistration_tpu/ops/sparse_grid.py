@@ -59,16 +59,30 @@ def voxelize(xyz: jnp.ndarray, num: jnp.ndarray, voxel_size: float) -> Tuple[jnp
     return xyz_sel, Grid(coords=uniq, num=num_unique)
 
 
-def stride_down(grid: Grid, new_tensor_stride: int) -> Grid:
+def stride_down(grid: Grid, new_tensor_stride: int,
+                out_capacity: int | None = None) -> Grid:
     """Downsample a coordinate map to a coarser tensor stride.
 
     Output coords are unique values of ``floor(c / s) * s`` (rounding toward
     -inf), still expressed in level-0 units — exactly ME's strided-conv output
     coordinate map (SURVEY.md section 2.2; resunet conv2/3/4 stride-2 chain).
+
+    out_capacity: static padded size of the coarser grid (surface scans shrink
+    ~4-8x per stride-2 level, so coarser levels can use smaller buffers; see
+    hashing.unique_rows for the saturation behavior on overflow).
     """
     s = int(new_tensor_stride)
-    snapped = jnp.floor_divide(grid.coords, s) * s
-    uniq, num_unique, _ = hashing.unique_rows(snapped, grid.num)
+    if s & (s - 1) == 0:
+        # Arithmetic shifts are exact floor-division for powers of two (all DGR
+        # strides are), and dodge a platform miscompilation: jnp.floor_divide
+        # (int32) fused into the dedup program produced dedup keyed on only the
+        # first packed word on the axon TPU backend (jax 0.9.0, 2026-08) —
+        # see tools/tpu_regression_checks.py.
+        k = s.bit_length() - 1
+        snapped = (grid.coords >> k) << k
+    else:
+        snapped = jax.lax.optimization_barrier(jnp.floor_divide(grid.coords, s) * s)
+    uniq, num_unique, _ = hashing.unique_rows(snapped, grid.num, out_capacity=out_capacity)
     return Grid(coords=uniq, num=num_unique)
 
 

@@ -1,0 +1,106 @@
+"""Torch checkpoint conversion: synthetic ME-style state_dicts -> param pytrees."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from deepglobalregistration_tpu.models import load_model
+from deepglobalregistration_tpu.utils import checkpoint
+
+
+def _me_style_state_dict(params, state):
+    """Flatten our pytrees back into ME naming to build a synthetic .pth."""
+    sd = {}
+
+    def walk_params(tree, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if isinstance(v, dict):
+                walk_params(v, name)
+            elif k in ("weight",) or (k == "bias" and "norm" in name):
+                # norm affine params live under <scope>.bn.<leaf> in ME
+                scope, leaf = name.rsplit(".", 1)
+                sd[f"{scope}.bn.{leaf}"] = torch.from_numpy(np.asarray(v))
+            elif k == "kernel":
+                arr = np.asarray(v)
+                if arr.shape[0] == 1:  # ME stores k=1 conv kernels as [Cin, Cout]
+                    arr = arr[0]
+                sd[name] = torch.from_numpy(arr)
+            else:
+                sd[name] = torch.from_numpy(np.asarray(v))
+
+    def walk_state(tree, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if isinstance(v, dict) and v:
+                walk_state(v, name)
+            elif k == "mean":
+                scope = name.rsplit(".", 1)[0]
+                sd[f"{scope}.bn.running_mean"] = torch.from_numpy(np.asarray(v))
+                sd[f"{scope}.bn.num_batches_tracked"] = torch.tensor(0)
+            elif k == "var":
+                scope = name.rsplit(".", 1)[0]
+                sd[f"{scope}.bn.running_var"] = torch.from_numpy(np.asarray(v))
+
+    walk_params(params, "")
+    walk_state(state, "")
+    return sd
+
+
+def test_roundtrip_resunet_checkpoint(tmp_path):
+    spec = load_model("ResUNetBN2F")
+    cfg = spec.make_config(1, 8, conv1_kernel_size=5, normalize_feature=True)
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
+    # randomize BN stats so mean/var mapping is actually checked
+    state = jax.tree.map(lambda x: x + 0.25, state)
+
+    sd = _me_style_state_dict(params, state)
+    ckpt = {
+        "epoch": 7,
+        "state_dict": sd,
+        "state_dict_inlier": sd,
+        "config": {"voxel_size": 0.05, "feat_model": "ResUNetBN2F"},
+        "best_val": 0.9,
+    }
+    path = tmp_path / "weights.pth"
+    torch.save(ckpt, path)
+
+    loaded = checkpoint.load_torch_checkpoint(path)
+    assert loaded["epoch"] == 7
+    got_p, got_s = loaded["fcgf_params"], loaded["fcgf_state"]
+
+    flat_a = jax.tree.leaves(jax.tree.map(np.asarray, params))
+    flat_b = jax.tree.leaves(got_p)
+    assert len(flat_a) == len(flat_b)
+    # structural equality of the whole trees
+    ref = jax.tree.map(np.asarray, params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6), ref, got_p)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+                 jax.tree.map(np.asarray, state), got_s)
+
+    # the converted params drive the model
+    from deepglobalregistration_tpu.ops.sparse_grid import Grid
+    coords = np.unique(np.random.RandomState(0).randint(-6, 6, (80, 3)), axis=0).astype(np.int32)
+    n = len(coords)
+    pad = np.full((64 - n, 3), 32766, np.int32) if n < 64 else np.zeros((0, 3), np.int32)
+    grid = Grid(jnp.asarray(np.concatenate([coords[:64], pad])), jnp.int32(min(n, 64)))
+    plan = jax.vmap(spec.build_plan, in_axes=(0, None))(jax.tree.map(lambda x: x[None], grid), cfg)
+    out, _ = spec.apply(jax.tree.map(jnp.asarray, got_p), jax.tree.map(jnp.asarray, got_s),
+                        cfg, plan, jnp.ones((1, 64, 1), jnp.float32))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    spec = load_model("ResUNetBN2F")
+    cfg = spec.make_config(1, 8)
+    params, state = spec.init(jax.random.PRNGKey(1), cfg)
+    p = tmp_path / "ckpt.pkl"
+    checkpoint.save_checkpoint(p, epoch=3, params=params, state=state,
+                               config={"voxel_size": 0.05}, best_val=0.5)
+    loaded = checkpoint.load_checkpoint(p)
+    assert loaded["epoch"] == 3 and loaded["best_val"] == 0.5
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+                 params, loaded["state_dict"]["params"])

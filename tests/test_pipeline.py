@@ -1,0 +1,62 @@
+"""End-to-end register() tests with randomly-initialized nets.
+
+Without pretrained weights, correctness is tested through structure: FCGF
+features are translation-equivariant at stride-8 granularity, so a cloud and
+its 8-voxel-translated copy produce identical features -> exact 1-NN
+correspondences -> the weighted-Procrustes + refinement + ICP stack must
+recover the translation regardless of the (random) inlier-net weights.
+"""
+
+import numpy as np
+import pytest
+
+from deepglobalregistration_tpu.config import default_config
+from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
+
+
+@pytest.fixture(scope="module")
+def dgr():
+    cfg = default_config(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1)
+    return DeepGlobalRegistration(cfg)
+
+
+def _cloud(rng, n=400):
+    return (rng.rand(n, 3) * 1.2).astype(np.float32)
+
+
+def test_register_identity(rng, dgr):
+    xyz = _cloud(rng)
+    T = dgr.register(xyz, xyz.copy())
+    np.testing.assert_allclose(T, np.eye(4), atol=5e-3)
+
+
+def test_register_recovers_grid_aligned_translation(rng, dgr):
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 16], np.float32) * dgr.voxel_size  # stride-8 aligned
+    xyz1 = xyz + t
+    T = dgr.register(xyz, xyz1)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
+
+
+def test_register_different_sizes_and_shuffle(rng, dgr):
+    xyz = _cloud(rng, 420)
+    t = np.array([-16, 8, 8], np.float32) * dgr.voxel_size
+    xyz1 = (xyz + t)[rng.permutation(420)][:390]  # drop some points + shuffle
+    T = dgr.register(xyz, xyz1)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
+
+
+def test_register_safeguard_path_runs(rng, dgr):
+    # Random unrelated clouds: inlier weights may or may not pass the gate, but
+    # register() must return a valid rigid transform either way.
+    xyz0 = _cloud(rng)
+    xyz1 = _cloud(rng) + 5.0
+    T = dgr.register(xyz0, xyz1)
+    R = T[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+    assert abs(np.linalg.det(R) - 1) < 1e-4

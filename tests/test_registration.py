@@ -1,0 +1,122 @@
+"""Refinement loop / RANSAC / ICP / correspondence-labeling tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from deepglobalregistration_tpu.core import correspondence, registration
+from deepglobalregistration_tpu.ops import icp, metrics, ransac, se3
+
+
+def _rigid(rng, max_angle_deg=None):
+    if max_angle_deg is None:
+        R = Rotation.random(random_state=rng).as_matrix().astype(np.float32)
+    else:
+        axis = rng.randn(3)
+        axis /= np.linalg.norm(axis)
+        ang = np.deg2rad(max_angle_deg) * rng.rand()
+        R = Rotation.from_rotvec(axis * ang).as_matrix().astype(np.float32)
+    t = rng.randn(3).astype(np.float32) * 0.5
+    return R, t
+
+
+def test_global_registration_refines_noisy_init(rng):
+    R, t = _rigid(rng)
+    n, cap = 400, 512
+    X = rng.randn(n, 3).astype(np.float32)
+    Y = X @ R.T + t + 0.01 * rng.randn(n, 3).astype(np.float32)
+    Xp = np.zeros((cap, 3), np.float32); Xp[:n] = X
+    Yp = np.zeros((cap, 3), np.float32); Yp[:n] = Y
+    w = np.zeros(cap, np.float32); w[:n] = 1.0
+    # corrupt some correspondences with weight ~0 (clipped inliers)
+    bad = rng.choice(n, 40, replace=False)
+    Yp[bad] += 5.0
+    w[bad] = 0.0
+
+    res = jax.jit(lambda a, b, c: registration.global_registration(
+        a, b, c, quantization_size=0.1))(jnp.asarray(Xp), jnp.asarray(Yp), jnp.asarray(w))
+    # NOTE: rotation_error clamps cos at 0.9999 (reference metrics.py:17), which
+    # floors reported RRE at 0.81 deg — compare R elementwise for a tighter check.
+    rre = np.rad2deg(float(metrics.rotation_error(res.R, jnp.asarray(R))))
+    rte = float(metrics.translation_error(res.t, jnp.asarray(t)))
+    assert rre <= 0.82 and rte < 0.02
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=2e-3)
+    assert int(res.iterations) <= 1000
+
+
+def test_global_registration_perfect_data_breaks_early(rng):
+    R, t = _rigid(rng)
+    X = rng.randn(200, 3).astype(np.float32)
+    Y = X @ R.T + t
+    w = np.ones(200, np.float32)
+    res = registration.global_registration(jnp.asarray(X), jnp.asarray(Y), jnp.asarray(w),
+                                           quantization_size=0.1)
+    # perfect closed-form init -> loss tiny -> plateau/threshold exit early
+    assert int(res.iterations) < 1000
+    assert float(res.loss) < 1e-3
+
+
+def test_ransac_recovers_under_70pct_outliers(rng):
+    R, t = _rigid(rng)
+    n, cap = 1000, 1024
+    X = (rng.rand(n, 3) * 2).astype(np.float32)
+    Y = X @ R.T + t
+    n_out = int(n * 0.7)
+    bad = rng.choice(n, n_out, replace=False)
+    Y[bad] = rng.rand(n_out, 3) * 2
+    Xp = np.zeros((cap, 3), np.float32); Xp[:n] = X
+    Yp = np.zeros((cap, 3), np.float32); Yp[:n] = Y
+
+    res = jax.jit(lambda k, a, b, m: ransac.ransac_correspondence(
+        k, a, b, m, distance_threshold=0.05, num_hypotheses=2048))(
+        jax.random.PRNGKey(0), jnp.asarray(Xp), jnp.asarray(Yp), jnp.int32(n))
+    rre = np.rad2deg(float(metrics.rotation_error(res.R, jnp.asarray(R))))
+    rte = float(metrics.translation_error(res.t, jnp.asarray(t)))
+    assert rre < 1.0 and rte < 0.05
+    assert 0.25 < float(res.fitness) < 0.45  # ~30% true inliers
+
+
+def test_icp_polishes_coarse_init(rng):
+    R, t = _rigid(rng, max_angle_deg=10)
+    n, cap = 800, 1024
+    src = (rng.rand(n, 3) * 2).astype(np.float32)
+    tgt = src @ R.T + t
+    perm = rng.permutation(n)
+    tgt = tgt[perm]
+    srcp = np.zeros((cap, 3), np.float32); srcp[:n] = src
+    tgtp = np.zeros((cap, 3), np.float32); tgtp[:n] = tgt
+
+    res = jax.jit(lambda s, g: icp.registration_icp(
+        s, g, jnp.int32(n), jnp.int32(n), max_correspondence_distance=0.5))(
+        jnp.asarray(srcp), jnp.asarray(tgtp))
+    T_gt = np.asarray(se3.rt_to_matrix(jnp.asarray(R), jnp.asarray(t)))
+    ok, rte, rre = metrics.rte_rre(res.T, jnp.asarray(T_gt), 0.05, 1.0)
+    assert bool(ok), (float(rte), float(rre), int(res.iterations))
+    assert float(res.fitness) > 0.99
+
+
+def test_icp_identity_when_aligned(rng):
+    src = (rng.rand(300, 3)).astype(np.float32)
+    res = icp.registration_icp(jnp.asarray(src), jnp.asarray(src), jnp.int32(300),
+                               jnp.int32(300), max_correspondence_distance=0.1)
+    np.testing.assert_allclose(np.asarray(res.T), np.eye(4), atol=1e-4)
+    # f32 rmse flutter at the 1e-6 convergence threshold can take a few extra
+    # iterations (o3d computes in f64 and stops at 1); just bound it well under 30.
+    assert int(res.iterations) <= 8
+
+
+def test_find_correct_correspondence_matches_reference_hash(rng):
+    pos = rng.randint(0, 500, size=(300, 2)).astype(np.int32)
+    pred = np.concatenate([pos[rng.choice(300, 100)],
+                           rng.randint(0, 500, size=(150, 2)).astype(np.int32)], 0)
+    rng.shuffle(pred)
+    cap_p, cap_q = 384, 320
+    posp = np.zeros((cap_p, 2), np.int32); posp[:300] = pos
+    predp = np.zeros((cap_q, 2), np.int32); predp[:250] = pred
+
+    got = np.asarray(correspondence.find_correct_correspondence(
+        jnp.asarray(posp), jnp.int32(300), jnp.asarray(predp), jnp.int32(250)))
+    ref = correspondence.find_correct_correspondence_np(pos, pred)
+    np.testing.assert_array_equal(got[:250], ref)
+    assert not got[250:].any()

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""On-hardware regression checks for platform compiler bugs we've worked around.
+
+The pytest suite runs on CPU, so TPU-backend miscompilations are invisible to
+it. This script runs the known-dangerous patterns on the real TPU and verifies
+them against numpy oracles. Run after toolchain updates:
+
+    python tools/tpu_regression_checks.py
+
+Known issue guarded here (axon platform, jax 0.9.0, 2026-08):
+- int32 floor_divide fused into the sort-based dedup program caused the
+  multi-word boundary comparison to collapse to the first packed word
+  (unique over (x,y) instead of (x,y,z)). Worked around with shift-based
+  snapping in sparse_grid.stride_down + an optimization barrier in
+  hashing.unique_rows.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp
+import numpy as np
+
+from deepglobalregistration_tpu.models import resunet
+from deepglobalregistration_tpu.ops import hashing, kernel_map
+from deepglobalregistration_tpu.ops.sparse_grid import stride_down, voxelize
+
+
+def main():
+    print(f"backend: {jax.default_backend()}")
+    rng = np.random.RandomState(0)
+    cap = 8192
+    xyz = (rng.rand(7000, 3) * 1.5).astype(np.float32)
+    xyz_p = np.zeros((cap, 3), np.float32)
+    xyz_p[:7000] = xyz
+    failures = 0
+
+    g0 = jax.jit(lambda x, n: voxelize(x, n, 0.05))(jnp.asarray(xyz_p), jnp.int32(7000))[1]
+    c = np.asarray(g0.coords)[: int(g0.num)]
+    expect0 = len(np.unique(np.floor(xyz / 0.05).astype(np.int32), axis=0))
+    assert int(g0.num) == expect0, f"voxelize: {int(g0.num)} != {expect0}"
+
+    # 1) separately-jitted stride chain (first observed miscompile pattern)
+    grid, ce = g0, c
+    for s in (2, 4, 8):
+        grid = jax.jit(lambda g, s=s: stride_down(g, s))(grid)
+        ce = np.unique(np.floor_divide(ce, s) * s, axis=0)
+        got = int(grid.num)
+        failures += got != len(ce)
+        print(f"stride {s}: {got} (expect {len(ce)}) {'ok' if got == len(ce) else 'MISCOMPILED'}")
+
+    # 2) the full vmapped fused pyramid (second observed miscompile pattern)
+    cfg = resunet.make_config("ResUNetBN2C", 1, 32, conv1_kernel_size=3,
+                              normalize_feature=True)
+    gb = jax.tree.map(lambda x: x[None], g0)
+    plan = jax.jit(lambda g: jax.vmap(resunet.build_resunet2_plan,
+                                      in_axes=(0, None, None))(g, cfg, 1))(gb)
+    expect = [c]
+    for s in (2, 4, 8):
+        expect.append(np.unique(np.floor_divide(expect[-1], s) * s, axis=0))
+    got = [int(g.num[0]) for g in plan.grids]
+    want = [len(e) for e in expect]
+    failures += got != want
+    print(f"vmapped plan levels: {got} (expect {want}) "
+          f"{'ok' if got == want else 'MISCOMPILED'}")
+
+    # 3) kernel map correctness inside the fused plan vs a dict oracle
+    nv = int(g0.num)
+    offs = kernel_map.kernel_offsets(3, 3)
+    kmap = np.asarray(plan.self_kmaps[0][0])
+    tab = {tuple(r): i for i, r in enumerate(c)}
+    bad = 0
+    sample = rng.choice(nv, 500, replace=False)
+    for j in sample:
+        for k in range(0, 27, 5):
+            want_idx = tab.get(tuple(c[j] + offs[k]), -1)
+            bad += int(kmap[k, j]) != want_idx
+    failures += bad > 0
+    print(f"kernel map spot-check: {bad} mismatches / {len(sample) * 6} probed "
+          f"{'ok' if bad == 0 else 'MISCOMPILED'}")
+
+    if failures:
+        print("FAIL: platform miscompilation detected — keep/extend the workarounds!")
+        sys.exit(1)
+    print("all TPU regression checks passed")
+
+
+if __name__ == "__main__":
+    main()
