@@ -1,0 +1,59 @@
+"""Driver benchmark: end-to-end registration pairs/sec on one TPU chip.
+
+Measures steady-state DeepGlobalRegistration.register() throughput on a
+synthetic 3DMatch-scale pair (~30k raw points, 5 cm voxel, ResUNetBN2C feature
++ 6D inlier nets — the shipped benchmark configuration) and prints ONE JSON
+line. ``vs_baseline`` divides by the CUDA reference's published end-to-end
+rate on 3DMatch (~0.7 s/pair => 1.43 pairs/s from the paper's speed-recall
+frontier, assets/frontier.png; the in-repo baseline is a figure, not a number
+— BASELINE.md). The north-star target is vs_baseline >= 2.
+"""
+
+import json
+import sys
+import time
+
+REFERENCE_PAIRS_PER_SEC = 1.43  # CUDA DGR ~0.7 s/pair end-to-end on 3DMatch
+
+
+def main():
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from deepglobalregistration_tpu.config import default_config
+    from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
+    from demo import synthetic_pair
+
+    config = default_config(
+        feat_model="ResUNetBN2C", feat_model_n_out=32, feat_conv1_kernel_size=7,
+        inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones")
+    dgr = DeepGlobalRegistration(config)
+
+    pairs = [synthetic_pair(n=30000, seed=s) for s in range(4)]
+
+    # warmup / compile
+    dgr.register(pairs[0][0], pairs[0][1])
+
+    reps = 8
+    t0 = time.time()
+    for i in range(reps):
+        xyz0, xyz1, _ = pairs[i % len(pairs)]
+        dgr.register(xyz0, xyz1)
+    dt = (time.time() - t0) / reps
+    pairs_per_sec = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "3dmatch-scale registration pairs/sec (single chip, e2e)",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -57,24 +57,37 @@ def num_words(d: int) -> int:
     return (d + 1) // 2
 
 
+def pack_cols(cols: Sequence[jnp.ndarray],
+              valid: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, ...]:
+    """Pack per-dimension coordinate arrays (any common shape) into key words.
+
+    TPU layout note: operating on D separate long arrays keeps the vector lanes
+    full; a fused [N, D] layout with D = 3 or 6 in the minor axis wastes
+    125/128 of every vector op (measured ~40x slowdowns).
+    """
+    d = len(cols)
+    w = num_words(d)
+    fields = [jnp.clip(c.astype(jnp.int32) + _FIELD_OFFSET, 0, _FIELD_MAX).astype(jnp.uint32)
+              for c in cols]
+    words = []
+    for i in range(w):
+        hi = fields[2 * i]
+        lo = fields[2 * i + 1] if 2 * i + 1 < d else jnp.zeros_like(hi)
+        word = (hi << 16) | lo
+        if valid is not None:
+            word = jnp.where(valid, word, _PAD_WORD)
+        words.append(word)
+    return tuple(words)
+
+
 def pack_rows(coords: jnp.ndarray, valid: jnp.ndarray | None = None) -> Tuple[jnp.ndarray, ...]:
     """Pack integer coordinate rows [N, D] into W uint32 key words (each [N]).
 
     Lexicographic order of the word tuple == lexicographic order of the rows.
     Rows where ``valid`` is False pack to the reserved all-ones pad key.
     """
-    n, d = coords.shape
-    w = num_words(d)
-    fields = jnp.clip(coords.astype(jnp.int32) + _FIELD_OFFSET, 0, _FIELD_MAX).astype(jnp.uint32)
-    words = []
-    for i in range(w):
-        hi = fields[:, 2 * i]
-        lo = fields[:, 2 * i + 1] if 2 * i + 1 < d else jnp.zeros_like(hi)
-        word = (hi << 16) | lo
-        if valid is not None:
-            word = jnp.where(valid, word, _PAD_WORD)
-        words.append(word)
-    return tuple(words)
+    d = coords.shape[-1]
+    return pack_cols(tuple(coords[..., i] for i in range(d)), valid)
 
 
 def _lex_eq(a: Sequence[jnp.ndarray], b: Sequence[jnp.ndarray]) -> jnp.ndarray:
@@ -149,29 +162,43 @@ def build_table(coords: jnp.ndarray, num: jnp.ndarray) -> CoordTable:
     return CoordTable(words=s_words, perm=s_perm, starts=starts, overflow=overflow, num=num)
 
 
+def lookup_words(table: CoordTable, qwords: Tuple[jnp.ndarray, ...],
+                 query_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Window-probe lookup of pre-packed query keys (any common shape S).
+
+    Returns original row indices (-1 if absent), shape S. The probe axis leads
+    ([P, *S]) so the long query axis stays in the vector lanes (see pack_cols).
+    """
+    n = table.words[0].shape[0]
+    b = table.starts.shape[0] - 1
+    bucket = (_mix(qwords) & jnp.uint32(b - 1)).astype(jnp.int32)
+    lo = table.starts[bucket]  # S
+    probe = jnp.arange(_PROBE, dtype=jnp.int32).reshape((_PROBE,) + (1,) * lo.ndim)
+    slots = jnp.minimum(lo[None] + probe, n - 1)  # [P, *S]
+    eq = _lex_eq(tuple(w[slots] for w in table.words),
+                 tuple(w[None] for w in qwords))  # [P, *S]
+    # Valid queries never pack to the pad key, and pad table rows hold the pad
+    # key, so equality alone rejects both padding directions.
+    if query_valid is not None:
+        eq = eq & query_valid[None]
+    found = jnp.any(eq, axis=0)
+    pos = jnp.max(jnp.where(eq, slots, 0), axis=0)  # the (unique) matching slot
+    return jnp.where(found, table.perm[pos], -1).astype(jnp.int32)
+
+
+def lookup_cols(table: CoordTable, query_cols: Sequence[jnp.ndarray],
+                query_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Lookup with per-dimension query arrays (lane-friendly hot path)."""
+    return lookup_words(table, pack_cols(tuple(query_cols), query_valid), query_valid)
+
+
 def lookup(table: CoordTable, query_coords: jnp.ndarray,
            query_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """Find each query row in the table. Returns original row indices, -1 if absent.
 
-    query_coords: [Q, D] int32. Padded/invalid queries (mask False) return -1.
-    One vectorized window probe: gather _PROBE consecutive slots per query and
-    compare keys — no data-dependent control flow.
+    query_coords: [..., D] int32. Padded/invalid queries (mask False) return -1.
     """
-    n = table.words[0].shape[0]
-    b = table.starts.shape[0] - 1
-    qwords = pack_rows(query_coords, query_valid)
-    bucket = (_mix(qwords) & jnp.uint32(b - 1)).astype(jnp.int32)
-    lo = table.starts[bucket]  # [Q]
-    slots = jnp.minimum(lo[:, None] + jnp.arange(_PROBE, dtype=jnp.int32)[None, :], n - 1)
-    eq = _lex_eq(tuple(w[slots] for w in table.words),
-                 tuple(w[:, None] for w in qwords))  # [Q, P]
-    # Valid queries never pack to the pad key, and pad table rows hold the pad
-    # key, so equality alone rejects both padding directions.
-    if query_valid is not None:
-        eq = eq & query_valid[:, None]
-    found = jnp.any(eq, axis=1)
-    pos = jnp.where(eq, slots, 0).max(axis=1)  # the (unique) matching slot
-    return jnp.where(found, table.perm[pos], -1).astype(jnp.int32)
+    return lookup_words(table, pack_rows(query_coords, query_valid), query_valid)
 
 
 def unique_rows(coords: jnp.ndarray, num: jnp.ndarray,

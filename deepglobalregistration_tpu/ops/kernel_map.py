@@ -80,18 +80,20 @@ def build_kernel_map(in_table: hashing.CoordTable, out_grid: Grid,
     k, d = offsets.shape
     m = out_grid.capacity
     sign = -1 if transpose else 1
-    offs = jnp.asarray(offsets * unit * sign, dtype=jnp.int32)  # [K, D]
+    offs = offsets * unit * sign  # static numpy [K, D]
     out_valid = out_grid.valid_mask()
+    # Lane-friendly layout: per-dimension [c, M] query arrays (M in the vector
+    # lanes) instead of [c*M, D] rows (see hashing.pack_cols layout note).
+    out_cols = tuple(out_grid.coords[:, i] for i in range(d))
 
     chunk = max(1, min(k, _MAX_QUERY_ELEMS // max(m, 1)))
     maps = []
     for start in range(0, k, chunk):
         c = min(chunk, k - start)
-        q = out_grid.coords[None, :, :] + offs[start:start + c][:, None, :]  # [c, M, D]
-        q = q.reshape(c * m, d)
-        qv = jnp.broadcast_to(out_valid[None, :], (c, m)).reshape(c * m)
-        idx = hashing.lookup(in_table, q, query_valid=qv)
-        maps.append(idx.reshape(c, m))
+        off_chunk = jnp.asarray(offs[start:start + c], dtype=jnp.int32)  # [c, D]
+        qcols = tuple(out_cols[i][None, :] + off_chunk[:, i][:, None] for i in range(d))
+        qv = jnp.broadcast_to(out_valid[None, :], (c, m))
+        maps.append(hashing.lookup_cols(in_table, qcols, query_valid=qv))
     return jnp.concatenate(maps, axis=0)
 
 
