@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple
 
-from . import resunet
+from . import pyramidnet, resunet, simpleunet
 
 
 class ModelSpec(NamedTuple):
@@ -30,18 +30,22 @@ class ModelSpec(NamedTuple):
 MODELS = {}
 
 
-def _register_resunet2(name: str):
+def _register(module, name: str, build_plan):
     MODELS[name] = ModelSpec(
         name=name,
-        make_config=lambda *a, **kw: resunet.make_config(name, *a, **kw),
-        init=resunet.init,
-        apply=resunet.apply,
-        build_plan=resunet.build_resunet2_plan,
+        make_config=lambda *a, _n=name, **kw: module.make_config(_n, *a, **kw),
+        init=module.init,
+        apply=module.apply,
+        build_plan=build_plan,
     )
 
 
 for _name in resunet._VARIANTS:
-    _register_resunet2(_name)
+    _register(resunet, _name, resunet.build_resunet2_plan)
+for _name in simpleunet._VARIANTS:
+    _register(simpleunet, _name, simpleunet.build_plan)
+for _name in pyramidnet._VARIANTS:
+    _register(pyramidnet, _name, pyramidnet.build_plan)
 
 
 def load_model(name: str) -> ModelSpec:

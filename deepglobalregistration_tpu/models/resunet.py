@@ -1,44 +1,52 @@
-"""ResUNet2 family — the shipped FCGF feature net and 6D inlier net.
+"""ResUNet families — residual sparse U-Nets (model/resunet.py:16-1221).
 
-Rebuilds model/resunet.py:419-691 (ResUNet2 / BN2 / BN2B / BN2C / BN2D / BN2E /
-BN2F and the HYPER_CROSS *X variants) as functional param pytrees over the
-gather-GEMM sparse conv engine. ResUNetBN2C is the architecture of both shipped
-checkpoints (README.md:64-67).
+Four structural families over one generic engine:
 
-Architecture (model/resunet.py:598-649): 4-level U-Net; at each encoder level a
-(strided) conv + norm + residual block, saving the *pre-ReLU* block output for
-the skip connection; decoder mirrors with transposed convs and feature concat
-(ME.cat) on the shared coordinate map; head = 1x1 conv + ReLU + 1x1 conv with
-bias; optional L2 feature normalization (resunet.py:643-649).
+- "v1_3" — ResUNet (3 levels; resunet.py:16-191): encoder conv->norm->block
+  saving the *post-block pre-relu* skip; decoder conv_tr->norm->block->relu
+  with ME.cat skips; tail conv1_tr(k1)->relu->final(k1, bias).
+  Variants: ResUNetBN, ResUNetBNF, ResUNetBNFX (:194-205).
+- "v1_4" — ResUNet2 (4 levels; :419-691): same pattern one level deeper.
+  Variants: ResUNetBN2/B/C/D/E/F (+CX/FX cross): the shipped checkpoints are
+  ResUNetBN2C (README.md:64-67).
+- "v2" — ResUNet2v2 (:694-972): relu *before* the block stack (blocks are
+  torch Sequentials, possibly several per level), kaiming fan_out init.
+  Variants: ResUNetBN2v2/Bv2/Cv2/Dv2/Ev2/Fv2.
+- "sp3"/"sp4" — ResUNetSP (:208-416) / ResUNet2SP (:975-1217): downsample by
+  k2/s2 sum-pooling + stride-1 convs; upsample by pooling-transpose (sp3) or
+  strided conv_tr (sp4). Variants: ResUNetBNSPC, ResUNetINBNSPC,
+  ResUNetBN2SPC, ResUNetBN2SPCX.
 
-The coordinate pyramid + kernel maps for one input cloud are precomputed by
-``build_resunet2_plan`` (single cloud; vmap for batch) — the analogue of ME's
-coordinate-manager caching, rebuilt per cloud because coordinates change per
-input.
+Parameter trees mirror MinkowskiEngine state_dict names (Sequential blocks
+nest as "0", "1", ...), so torch checkpoints convert mechanically.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
-from typing import Any, Dict, NamedTuple, Tuple
+from dataclasses import dataclass
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import hashing, kernel_map, sparse_grid
+from ..ops import kernel_map
+from ..ops import sparse_conv as sc
 from ..ops.sparse_grid import Grid
-from . import common, residual_block
+from . import common, residual_block, unet_plan
+
+ResUNet2Plan = unet_plan.UNetPlan
+_identity_kmap = unet_plan.identity_kmap
 
 
 @dataclass(frozen=True)
-class ResUNet2Config:
-    """Static architecture description (class attrs of model/resunet.py:419-424)."""
-
-    name: str = "ResUNetBN2C"
-    norm_type: str = "BN"
+class ResUNetConfig:
+    name: str
+    family: str  # v1_3 | v1_4 | v2 | sp3 | sp4
+    norm_type: str
+    channels: Tuple[int, ...]
+    tr_channels: Tuple[int, ...]
     block_norm_type: str = "BN"
-    channels: Tuple[int, ...] = (0, 32, 64, 128, 256)
-    tr_channels: Tuple[int, ...] = (0, 64, 64, 64, 128)
+    depths: Tuple[int, ...] = ()  # per-level Sequential block counts (v2/sp)
     region_type: int = kernel_map.HYPER_CUBE
     in_channels: int = 1
     out_channels: int = 32
@@ -47,131 +55,160 @@ class ResUNet2Config:
     normalize_feature: bool = False
     D: int = 3
 
+    @property
+    def levels(self) -> int:
+        return len(self.channels) - 1
 
-# Channel configurations from model/resunet.py:652-691.
+
+# Keep the old public name working.
+ResUNet2Config = ResUNetConfig
+
+_C3 = dict(channels=(0, 32, 64, 128), tr_channels=(0, 32, 64, 64))
 _VARIANTS: Dict[str, Dict[str, Any]] = {
-    "ResUNetBN2": dict(channels=(0, 32, 64, 128, 256), tr_channels=(0, 32, 64, 64, 128)),
-    "ResUNetBN2B": dict(channels=(0, 32, 64, 128, 256), tr_channels=(0, 64, 64, 64, 64)),
-    "ResUNetBN2C": dict(channels=(0, 32, 64, 128, 256), tr_channels=(0, 64, 64, 64, 128)),
-    "ResUNetBN2D": dict(channels=(0, 32, 64, 128, 256), tr_channels=(0, 64, 64, 128, 128)),
-    "ResUNetBN2E": dict(channels=(0, 128, 128, 128, 256), tr_channels=(0, 64, 128, 128, 128)),
-    "ResUNetBN2F": dict(channels=(0, 16, 32, 64, 128), tr_channels=(0, 16, 32, 64, 128)),
+    # 3-level v1 (resunet.py:194-205)
+    "ResUNetBN": dict(_C3, family="v1_3", norm_type="BN"),
+    "ResUNetBNF": dict(family="v1_3", norm_type="BN", channels=(0, 16, 32, 64),
+                       tr_channels=(0, 16, 32, 64)),
+    "ResUNetBNFX": dict(family="v1_3", norm_type="BN", channels=(0, 16, 32, 64),
+                        tr_channels=(0, 16, 32, 64),
+                        region_type=kernel_map.HYPER_CROSS),
+    # 4-level v1 (resunet.py:652-691)
+    "ResUNetBN2": dict(family="v1_4", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                       tr_channels=(0, 32, 64, 64, 128)),
+    "ResUNetBN2B": dict(family="v1_4", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                        tr_channels=(0, 64, 64, 64, 64)),
+    "ResUNetBN2C": dict(family="v1_4", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                        tr_channels=(0, 64, 64, 64, 128)),
+    "ResUNetBN2D": dict(family="v1_4", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                        tr_channels=(0, 64, 64, 128, 128)),
+    "ResUNetBN2E": dict(family="v1_4", norm_type="BN", channels=(0, 128, 128, 128, 256),
+                        tr_channels=(0, 64, 128, 128, 128)),
+    "ResUNetBN2F": dict(family="v1_4", norm_type="BN", channels=(0, 16, 32, 64, 128),
+                        tr_channels=(0, 16, 32, 64, 128)),
+    # v2 (resunet.py:942-972); DEPTHS[1..L] block counts, all 1 by default
+    "ResUNetBN2v2": dict(family="v2", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                         tr_channels=(0, 32, 64, 64, 128), depths=(1,) * 8),
+    "ResUNetBN2Bv2": dict(family="v2", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                          tr_channels=(0, 64, 64, 64, 64), depths=(1,) * 8),
+    "ResUNetBN2Cv2": dict(family="v2", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                          tr_channels=(0, 64, 64, 64, 128), depths=(1,) * 8),
+    "ResUNetBN2Dv2": dict(family="v2", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                          tr_channels=(0, 64, 64, 128, 128), depths=(1,) * 8),
+    "ResUNetBN2Ev2": dict(family="v2", norm_type="BN", channels=(0, 128, 128, 128, 256),
+                          tr_channels=(0, 64, 128, 128, 128), depths=(1,) * 8),
+    "ResUNetBN2Fv2": dict(family="v2", norm_type="BN", channels=(0, 16, 32, 64, 128),
+                          tr_channels=(0, 16, 32, 64, 128), depths=(1,) * 8),
+    # SP families (resunet.py:208-416, 975-1217)
+    "ResUNetSP": dict(_C3, family="sp3", norm_type="BN", depths=(1,) * 6),
+    "ResUNetBNSPC": dict(_C3, family="sp3", norm_type="BN", depths=(1,) * 6,
+                         region_type=kernel_map.HYPER_CROSS),
+    "ResUNetINBNSPC": dict(_C3, family="sp3", norm_type="INBN", depths=(1,) * 6,
+                           region_type=kernel_map.HYPER_CROSS),
+    "ResUNet2SP": dict(family="sp4", norm_type="BN", channels=(0, 32, 64, 128, 256),
+                       tr_channels=(0, 64, 64, 64, 128), depths=(1,) * 8),
+    "ResUNetBN2SPC": dict(family="sp4", norm_type="BN",
+                          channels=(0, 32, 64, 128, 256),
+                          tr_channels=(0, 64, 64, 64, 128), depths=(1,) * 8),
+    "ResUNetBN2SPCX": dict(family="sp4", norm_type="BN",
+                           channels=(0, 32, 64, 128, 256),
+                           tr_channels=(0, 64, 64, 64, 128), depths=(1,) * 8,
+                           region_type=kernel_map.HYPER_CROSS),
 }
-_VARIANTS["ResUNetBN2CX"] = dict(_VARIANTS["ResUNetBN2C"], region_type=kernel_map.HYPER_CROSS)
-_VARIANTS["ResUNetBN2FX"] = dict(_VARIANTS["ResUNetBN2F"], region_type=kernel_map.HYPER_CROSS)
+# Cross-region aliases of the 4-level v1 family (resunet.py:668-669, 690-691).
+_VARIANTS["ResUNetBN2CX"] = dict(_VARIANTS["ResUNetBN2C"],
+                                 region_type=kernel_map.HYPER_CROSS)
+_VARIANTS["ResUNetBN2FX"] = dict(_VARIANTS["ResUNetBN2F"],
+                                 region_type=kernel_map.HYPER_CROSS)
 
 
 def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: float = 0.1,
                 conv1_kernel_size: int = 3, normalize_feature: bool = False,
-                D: int = 3) -> ResUNet2Config:
+                D: int = 3) -> ResUNetConfig:
     if name not in _VARIANTS:
-        raise ValueError(f"unknown ResUNet2 variant {name}")
-    return ResUNet2Config(name=name, in_channels=in_channels, out_channels=out_channels,
-                          bn_momentum=bn_momentum, conv1_kernel_size=conv1_kernel_size,
-                          normalize_feature=normalize_feature, D=D, **_VARIANTS[name])
+        raise ValueError(f"unknown ResUNet variant {name}")
+    return ResUNetConfig(name=name, in_channels=in_channels, out_channels=out_channels,
+                         bn_momentum=bn_momentum, conv1_kernel_size=conv1_kernel_size,
+                         normalize_feature=normalize_feature, D=D, **_VARIANTS[name])
 
 
-class ResUNet2Plan(NamedTuple):
-    """Per-cloud coordinate pyramid and kernel maps (levels 0..3, strides 1,2,4,8)."""
-
-    grids: Tuple[Grid, Grid, Grid, Grid]
-    conv1_kmap: jnp.ndarray  # [K1, N] at level 0
-    self_kmaps: Tuple[jnp.ndarray, ...]  # k3 stride-1 maps at levels 0..3
-    down_kmaps: Tuple[jnp.ndarray, ...]  # level i -> i+1, i in 0..2
-    up_kmaps: Tuple[jnp.ndarray, ...]  # level i+1 -> i, i in 0..2
-
-
-def _identity_kmap(grid: Grid) -> jnp.ndarray:
-    idx = jnp.arange(grid.capacity, dtype=jnp.int32)
-    return jnp.where(grid.valid_mask(), idx, -1)[None, :]
-
-
-def build_resunet2_plan(grid0: Grid, cfg: ResUNet2Config,
-                        level_shrink: int = 2) -> ResUNet2Plan:
-    """Build the 4-level pyramid + all kernel maps for one input cloud (jittable).
-
-    level_shrink: static per-level capacity divisor. Surface scans merge ~4-8x
-    voxels per stride-2 level, so padded buffers at coarse levels can shrink;
-    the default 2 is conservative. Use 1 for worst-case (no-merge) inputs.
-    """
-    d = cfg.D
-    offs3 = kernel_map.kernel_offsets(3, d, cfg.region_type)
-    offs1 = kernel_map.kernel_offsets(cfg.conv1_kernel_size, d, cfg.region_type)
-
-    grids = [grid0]
-    for level in range(1, 4):
-        cap = max(grid0.capacity // (level_shrink ** level), 128)
-        grids.append(sparse_grid.stride_down(grids[-1], 2 ** level, out_capacity=cap))
-
-    tables = [hashing.build_table(g.coords, g.num) for g in grids]
-
-    conv1_kmap = kernel_map.build_kernel_map(tables[0], grids[0], offs1, unit=1)
-    self_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
-        for i in range(4))
-    down_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
-        for i in range(3))
-    up_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
-                                    transpose=True)
-        for i in range(3))
-    return ResUNet2Plan(grids=tuple(grids), conv1_kmap=conv1_kmap,
-                        self_kmaps=self_kmaps, down_kmaps=down_kmaps, up_kmaps=up_kmaps)
+def build_resunet2_plan(grid0: Grid, cfg: ResUNetConfig,
+                        level_shrink: int = 2) -> unet_plan.UNetPlan:
+    """Pyramid + kernel maps for this config's depth; see models/unet_plan.py."""
+    return unet_plan.build_unet_plan(
+        grid0, cfg.conv1_kernel_size, cfg.region_type, cfg.D,
+        n_levels=cfg.levels, level_shrink=level_shrink,
+        with_pooling=cfg.family.startswith("sp"))
 
 
 build_resunet2_plan_batch = jax.vmap(build_resunet2_plan, in_axes=(0, None))
 
 
-def init(key: jax.Array, cfg: ResUNet2Config) -> Tuple[common.Params, common.Params]:
-    """Initialize (params, state) pytrees with reference layer names."""
-    C, TR = cfg.channels, cfg.tr_channels
+def _depth(cfg, i):
+    """Block count at encoder/decoder slot i (1-based, mirrored for decoder)."""
+    if not cfg.depths:
+        return 1
+    return cfg.depths[min(i, len(cfg.depths) - 1)]
+
+
+def init(key: jax.Array, cfg: ResUNetConfig) -> Tuple[common.Params, common.Params]:
+    C, TR, L = cfg.channels, cfg.tr_channels, cfg.levels
     kvol3 = kernel_map.kernel_offsets(3, cfg.D, cfg.region_type).shape[0]
-    kvol1 = kernel_map.kernel_offsets(cfg.conv1_kernel_size, cfg.D, cfg.region_type).shape[0]
-    keys = iter(jax.random.split(key, 16))
+    kvol1 = kernel_map.kernel_offsets(cfg.conv1_kernel_size, cfg.D,
+                                      cfg.region_type).shape[0]
+    seq_blocks = cfg.family in ("v2", "sp3", "sp4")
+    keys = iter(jax.random.split(key, 8 * L + 8))
     params: common.Params = {}
     state: common.Params = {}
 
     def add_norm(name, c):
         p, s = common.init_norm(cfg.norm_type, c)
-        params[name] = p
-        state[name] = s
+        params[name], state[name] = p, s
 
-    def add_block(name, cin, c):
-        p, s = residual_block.init_block(next(keys), cfg.block_norm_type, cin, c, kvol3)
-        params[name] = p
-        state[name] = s
+    def add_block(name, c):
+        if seq_blocks:
+            bp, bs = {}, {}
+            lvl = int(name.replace("block", "").replace("_tr", ""))
+            for d in range(_depth(cfg, lvl)):
+                bp[str(d)], bs[str(d)] = residual_block.init_block(
+                    next(keys), cfg.block_norm_type, c, c, kvol3)
+            params[name], state[name] = bp, bs
+        else:
+            params[name], state[name] = residual_block.init_block(
+                next(keys), cfg.block_norm_type, c, c, kvol3)
 
+    # Encoder
     params["conv1"] = common.init_conv(next(keys), kvol1, cfg.in_channels, C[1])
     add_norm("norm1", C[1])
-    add_block("block1", C[1], C[1])
-    for i, lvl in ((2, 2), (3, 3), (4, 4)):
-        params[f"conv{i}"] = common.init_conv(next(keys), kvol3, C[i - 1], C[i])
+    add_block("block1", C[1])
+    enc_kvol = 1 if cfg.family == "sp3" else kvol3  # sp3 convs are k1 (resunet.py:50-75)
+    for i in range(2, L + 1):
+        params[f"conv{i}"] = common.init_conv(next(keys), enc_kvol, C[i - 1], C[i])
         add_norm(f"norm{i}", C[i])
-        add_block(f"block{i}", C[i], C[i])
-    params["conv4_tr"] = common.init_conv(next(keys), kvol3, C[4], TR[4])
-    add_norm("norm4_tr", TR[4])
-    add_block("block4_tr", TR[4], TR[4])
-    params["conv3_tr"] = common.init_conv(next(keys), kvol3, C[3] + TR[4], TR[3])
-    add_norm("norm3_tr", TR[3])
-    add_block("block3_tr", TR[3], TR[3])
-    params["conv2_tr"] = common.init_conv(next(keys), kvol3, C[2] + TR[3], TR[2])
-    add_norm("norm2_tr", TR[2])
-    add_block("block2_tr", TR[2], TR[2])
+        add_block(f"block{i}", C[i])
+    # Decoder
+    dec_kvol = 1 if cfg.family == "sp3" else kvol3
+    params[f"conv{L}_tr"] = common.init_conv(next(keys), dec_kvol, C[L], TR[L])
+    add_norm(f"norm{L}_tr", TR[L])
+    add_block(f"block{L}_tr", TR[L])
+    for i in range(L - 1, 1, -1):
+        params[f"conv{i}_tr"] = common.init_conv(next(keys), dec_kvol,
+                                                 C[i] + TR[i + 1], TR[i])
+        add_norm(f"norm{i}_tr", TR[i])
+        add_block(f"block{i}_tr", TR[i])
     params["conv1_tr"] = common.init_conv(next(keys), 1, C[1] + TR[2], TR[1])
     params["final"] = common.init_conv(next(keys), 1, TR[1], cfg.out_channels, bias=True)
     return params, state
 
 
-def apply(params: common.Params, state: common.Params, cfg: ResUNet2Config,
-          plan: ResUNet2Plan, feats: jnp.ndarray, train: bool = False):
-    """Forward pass. plan is batched (via build_resunet2_plan_batch), feats [B, N, Cin].
-
-    Returns (features [B, N, out_channels], new_state). Mirrors
-    model/resunet.py:598-649 exactly (pre-ReLU skip saves, ME.cat orders).
-    """
+def apply(params: common.Params, state: common.Params, cfg: ResUNetConfig,
+          plan: unet_plan.UNetPlan, feats: jnp.ndarray, train: bool = False):
+    """Forward pass. plan is batched, feats [B, N, Cin]. Returns (out, new_state)."""
+    L = cfg.levels
+    fam = cfg.family
     masks = [jax.vmap(Grid.valid_mask)(g) for g in plan.grids]
     new_state: common.Params = {}
+    conv = common.apply_conv_batched
+    relu = lambda x: common.apply_nonlinearity("ReLU", x)
 
     def norm(name, x, lvl):
         out, s = common.apply_norm(cfg.norm_type, params[name], state[name], x,
@@ -179,57 +216,77 @@ def apply(params: common.Params, state: common.Params, cfg: ResUNet2Config,
         new_state[name] = s
         return out
 
-    def block(name, x, kmap, lvl):
-        out, s = residual_block.apply_block(params[name], state[name], cfg.block_norm_type,
-                                            x, kmap, masks[lvl], train, cfg.bn_momentum)
-        new_state[name] = s
+    def block(name, x, lvl):
+        kmap = plan.self_kmaps[lvl]
+        if fam in ("v2", "sp3", "sp4"):
+            bstate = {}
+            for d in sorted(params[name], key=int):
+                x, bs = residual_block.apply_block(
+                    params[name][d], state[name][d], cfg.block_norm_type, x, kmap,
+                    masks[lvl], train, cfg.bn_momentum)
+                bstate[d] = bs
+            new_state[name] = bstate
+            return x
+        out, bs = residual_block.apply_block(params[name], state[name],
+                                             cfg.block_norm_type, x, kmap,
+                                             masks[lvl], train, cfg.bn_momentum)
+        new_state[name] = bs
         return out
 
-    conv = common.apply_conv_batched
+    def pool(kmaps, idx, x):
+        return jax.vmap(sc.sparse_sum_pool)(x, kmaps[idx])
 
-    # Encoder
-    out_s1 = conv(params["conv1"], feats, plan.conv1_kmap)
-    out_s1 = norm("norm1", out_s1, 0)
-    out_s1 = block("block1", out_s1, plan.self_kmaps[0], 0)
-    out = common.apply_nonlinearity("ReLU", out_s1)
+    skips = []
+    out = feats
+    # ---------------- encoder ----------------
+    for i in range(1, L + 1):
+        lvl = i - 1
+        if i == 1:
+            out = conv(params["conv1"], out, plan.conv1_kmap)
+        elif fam in ("sp3", "sp4"):
+            out = pool(plan.pool_down, i - 2, out)  # SumPooling k2/s2
+            kmap = unet_plan.identity_kmap_batched(plan.grids[lvl]) \
+                if fam == "sp3" else plan.self_kmaps[lvl]
+            out = conv(params[f"conv{i}"], out, kmap)
+        else:
+            out = conv(params[f"conv{i}"], out, plan.down_kmaps[i - 2])
+        out = norm(f"norm{i}", out, lvl)
+        if fam == "v2":  # relu before the block stack (resunet.py:887-906)
+            out = block(f"block{i}", relu(out), lvl)
+            skips.append(out)
+        else:
+            out = block(f"block{i}", out, lvl)
+            skips.append(out)
+            out = relu(out)
 
-    out_s2 = conv(params["conv2"], out, plan.down_kmaps[0])
-    out_s2 = norm("norm2", out_s2, 1)
-    out_s2 = block("block2", out_s2, plan.self_kmaps[1], 1)
-    out = common.apply_nonlinearity("ReLU", out_s2)
+    # ---------------- decoder ----------------
+    for i in range(L, 1, -1):
+        lvl = i - 2
+        if fam == "sp3":
+            # pool_tr then k1 conv_tr at stage L; conv then pool at inner stages
+            # (reference forward order quirk, resunet.py:383-395)
+            if i == L:
+                out = pool(plan.pool_up, lvl, out)
+                out = conv(params[f"conv{i}_tr"],
+                           out, unet_plan.identity_kmap_batched(plan.grids[lvl]))
+            else:
+                out = conv(params[f"conv{i}_tr"], out,
+                           unet_plan.identity_kmap_batched(plan.grids[lvl + 1]))
+                out = pool(plan.pool_up, lvl, out)
+        else:
+            out = conv(params[f"conv{i}_tr"], out, plan.up_kmaps[lvl])
+        out = norm(f"norm{i}_tr", out, lvl)
+        if fam in ("v2", "sp3", "sp4"):
+            out = relu(out)
+            out = block(f"block{i}_tr", out, lvl)
+        else:
+            out = block(f"block{i}_tr", out, lvl)
+            out = relu(out)
+        out = jnp.concatenate([out, skips[lvl]], axis=-1)  # ME.cat(decoder, skip)
 
-    out_s4 = conv(params["conv3"], out, plan.down_kmaps[1])
-    out_s4 = norm("norm3", out_s4, 2)
-    out_s4 = block("block3", out_s4, plan.self_kmaps[2], 2)
-    out = common.apply_nonlinearity("ReLU", out_s4)
-
-    out_s8 = conv(params["conv4"], out, plan.down_kmaps[2])
-    out_s8 = norm("norm4", out_s8, 3)
-    out_s8 = block("block4", out_s8, plan.self_kmaps[3], 3)
-    out = common.apply_nonlinearity("ReLU", out_s8)
-
-    # Decoder
-    out = conv(params["conv4_tr"], out, plan.up_kmaps[2])
-    out = norm("norm4_tr", out, 2)
-    out = block("block4_tr", out, plan.self_kmaps[2], 2)
-    out_s4_tr = common.apply_nonlinearity("ReLU", out)
-
-    out = jnp.concatenate([out_s4_tr, out_s4], axis=-1)  # ME.cat (resunet.py:624)
-    out = conv(params["conv3_tr"], out, plan.up_kmaps[1])
-    out = norm("norm3_tr", out, 1)
-    out = block("block3_tr", out, plan.self_kmaps[1], 1)
-    out_s2_tr = common.apply_nonlinearity("ReLU", out)
-
-    out = jnp.concatenate([out_s2_tr, out_s2], axis=-1)
-    out = conv(params["conv2_tr"], out, plan.up_kmaps[0])
-    out = norm("norm2_tr", out, 0)
-    out = block("block2_tr", out, plan.self_kmaps[0], 0)
-    out_s1_tr = common.apply_nonlinearity("ReLU", out)
-
-    out = jnp.concatenate([out_s1_tr, out_s1], axis=-1)
-    id_kmap = jax.vmap(_identity_kmap)(plan.grids[0])
+    id_kmap = unet_plan.identity_kmap_batched(plan.grids[0])
     out = conv(params["conv1_tr"], out, id_kmap)
-    out = common.apply_nonlinearity("ReLU", out)
+    out = relu(out)
     out = conv(params["final"], out, id_kmap)
 
     if cfg.normalize_feature:

@@ -1,0 +1,86 @@
+"""Shared coordinate-pyramid planning for all U-Net-shaped models.
+
+Every DGR model family (ResUNet/ResUNet2, SimpleNet1-3, PyramidNet) consumes
+the same per-cloud precomputation: a stride-2 coordinate pyramid plus kernel
+maps for stride-1 self convs, stride-2 down convs, and their transposes. This
+is the TPU-native analogue of MinkowskiEngine's coordinate-manager caching,
+built fresh per cloud (jittable; vmap for batch).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from ..ops import hashing, kernel_map, sparse_grid
+from ..ops.sparse_grid import Grid
+
+
+class UNetPlan(NamedTuple):
+    """Pyramid of L levels (tensor strides 1, 2, ..., 2^(L-1)) + kernel maps."""
+
+    grids: Tuple[Grid, ...]  # L grids
+    conv1_kmap: jnp.ndarray  # [K1, N] at level 0 (first-conv kernel size)
+    self_kmaps: Tuple[jnp.ndarray, ...]  # k3 stride-1 maps, one per level
+    down_kmaps: Tuple[jnp.ndarray, ...]  # level i -> i+1 (L-1 maps)
+    up_kmaps: Tuple[jnp.ndarray, ...]  # level i+1 -> i transposed (L-1 maps)
+    pool_down: Tuple[jnp.ndarray, ...] = ()  # k2/s2 sum-pool maps (SP variants)
+    pool_up: Tuple[jnp.ndarray, ...] = ()  # k2/s2 pooling-transpose maps
+
+
+def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
+                    ndim: int, n_levels: int, level_shrink: int = 2,
+                    with_pooling: bool = False) -> UNetPlan:
+    """Build the pyramid + all kernel maps for one input cloud (jittable).
+
+    level_shrink: static per-level capacity divisor (surface scans merge ~4-8x
+    voxels per stride-2 level; 1 = worst-case no shrink).
+    with_pooling: also build k2/s2 sum-pool + pooling-transpose maps (the
+    ResUNetSP family downsamples by pooling instead of strided convs).
+    """
+    offs3 = kernel_map.kernel_offsets(3, ndim, region_type)
+    offs1 = kernel_map.kernel_offsets(conv1_kernel_size, ndim, region_type)
+
+    grids = [grid0]
+    for level in range(1, n_levels):
+        cap = max(grid0.capacity // (level_shrink ** level), 128)
+        grids.append(sparse_grid.stride_down(grids[-1], 2 ** level, out_capacity=cap))
+
+    tables = [hashing.build_table(g.coords, g.num) for g in grids]
+
+    conv1_kmap = kernel_map.build_kernel_map(tables[0], grids[0], offs1, unit=1)
+    self_kmaps = tuple(
+        kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
+        for i in range(n_levels))
+    down_kmaps = tuple(
+        kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
+        for i in range(n_levels - 1))
+    up_kmaps = tuple(
+        kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
+                                    transpose=True)
+        for i in range(n_levels - 1))
+    pool_down: Tuple[jnp.ndarray, ...] = ()
+    pool_up: Tuple[jnp.ndarray, ...] = ()
+    if with_pooling:
+        offs2 = kernel_map.kernel_offsets(2, ndim, kernel_map.HYPER_CUBE)
+        pool_down = tuple(
+            kernel_map.build_kernel_map(tables[i], grids[i + 1], offs2, unit=2 ** i)
+            for i in range(n_levels - 1))
+        pool_up = tuple(
+            kernel_map.build_kernel_map(tables[i + 1], grids[i], offs2, unit=2 ** i,
+                                        transpose=True)
+            for i in range(n_levels - 1))
+    return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
+                    self_kmaps=self_kmaps, down_kmaps=down_kmaps,
+                    up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up)
+
+
+def identity_kmap(grid: Grid) -> jnp.ndarray:
+    idx = jnp.arange(grid.capacity, dtype=jnp.int32)
+    return jnp.where(grid.valid_mask(), idx, -1)[None, :]
+
+
+import jax as _jax
+
+identity_kmap_batched = _jax.vmap(identity_kmap)

@@ -43,8 +43,15 @@ _MAX_QUERY_ELEMS = 1 << 21
 def kernel_offsets(kernel_size: int, ndim: int, region_type: int = HYPER_CUBE,
                    dilation: int = 1) -> np.ndarray:
     """Static [K, D] integer offsets of a kernel region (unit tensor stride)."""
-    if kernel_size % 2 != 1:
-        raise NotImplementedError("only odd kernel sizes are used by the DGR model zoo")
+    if kernel_size % 2 == 0:
+        # Even kernels (ME convention: offsets in [0, k)) — used by the k2/s2
+        # sum-pooling of the ResUNetSP variants (resunet.py:256,298).
+        if region_type != HYPER_CUBE:
+            raise NotImplementedError("even kernels only defined for HYPER_CUBE")
+        ranges = [np.arange(0, kernel_size) for _ in range(ndim)]
+        mesh = np.meshgrid(*reversed(ranges), indexing="ij")
+        offs = np.stack([m.ravel() for m in reversed(mesh)], axis=1)
+        return (offs * dilation).astype(np.int32)
     r = kernel_size // 2
     if region_type == HYPER_CUBE:
         ranges = [np.arange(-r, r + 1) for _ in range(ndim)]

@@ -123,3 +123,58 @@ def test_registry():
         assert name in MODELS
     with pytest.raises(ValueError):
         load_model("NotANet")
+
+
+def test_simplenet_families(rng):
+    from deepglobalregistration_tpu.models import load_model
+    for name in ["SimpleNetBNE", "SimpleNetBN2E", "SimpleNetBN3E", "SimpleNetINE"]:
+        spec = load_model(name)
+        cfg = spec.make_config(1, 8, conv1_kernel_size=3, normalize_feature=True)
+        params, state = spec.init(jax.random.PRNGKey(0), cfg)
+        coords, grid = _random_grid(rng, 70, 96)
+        plan = jax.vmap(spec.build_plan, in_axes=(0, None))(
+            jax.tree.map(lambda x: x[None], grid), cfg)
+        out, _ = spec.apply(params, state, cfg, plan, jnp.ones((1, 96, 1), jnp.float32))
+        assert out.shape == (1, 96, 8), name
+        assert np.isfinite(np.asarray(out)[0, :70]).all(), name
+
+
+def test_pyramidnet_families(rng):
+    from deepglobalregistration_tpu.models import load_model
+    for name in ["PyramidNet", "PyramidNet6NoBlock"]:
+        spec = load_model(name)
+        cfg = spec.make_config(1, 8, conv1_kernel_size=3, normalize_feature=False)
+        params, state = spec.init(jax.random.PRNGKey(0), cfg)
+        coords, grid = _random_grid(rng, 80, 128, lo=-40, hi=40)
+        plan = jax.vmap(spec.build_plan, in_axes=(0, None, None))(
+            jax.tree.map(lambda x: x[None], grid), cfg, 1)
+        out, _ = spec.apply(params, state, cfg, plan, jnp.ones((1, 128, 1), jnp.float32))
+        assert out.shape == (1, 128, 8), name
+        assert np.isfinite(np.asarray(out)[0, :80]).all(), name
+
+
+def test_pyramidnet_checkpoint_name_structure(rng):
+    # param tree keys mirror torch Sequential names for converter parity
+    from deepglobalregistration_tpu.models import load_model
+    spec = load_model("PyramidNet")
+    cfg = spec.make_config(1, 8)
+    params, _ = spec.init(jax.random.PRNGKey(0), cfg)
+    assert "kernel" in params["conv"]["0"]  # head conv_norm_non
+    assert "weight" in params["conv"]["1"]
+    assert "kernel" in params["pyramid"]["conv"]["0"]["0"]  # Sequential nesting
+    assert "kernel" in params["pyramid"]["convtr"]["0"]
+    assert "kernel" in params["pyramid"]["inner_module"]["cat_conv"]["0"]
+
+
+def test_resunet_extended_families(rng):
+    from deepglobalregistration_tpu.models import load_model
+    for name in ["ResUNetBNF", "ResUNetBN2Fv2", "ResUNetSP", "ResUNetBN2SPC"]:
+        spec = load_model(name)
+        cfg = spec.make_config(1, 8, conv1_kernel_size=3, normalize_feature=False)
+        params, state = spec.init(jax.random.PRNGKey(0), cfg)
+        coords, grid = _random_grid(rng, 70, 96)
+        plan = jax.vmap(spec.build_plan, in_axes=(0, None, None))(
+            jax.tree.map(lambda x: x[None], grid), cfg, 1)
+        out, _ = spec.apply(params, state, cfg, plan, jnp.ones((1, 96, 1), jnp.float32))
+        assert out.shape == (1, 96, 8), name
+        assert np.isfinite(np.asarray(out)[0, :70]).all(), name
