@@ -46,15 +46,12 @@ class PairDataset:
 
     def voxelize_pair(self, xyz0: np.ndarray, xyz1: np.ndarray):
         """Host-side quantization (one point per voxel, smallest index kept),
-        matching ME.utils.sparse_quantize usage in the loaders."""
-        def quantize(xyz):
-            coords = np.floor(xyz / self.voxel_size).astype(np.int32)
-            _, sel = np.unique(coords, axis=0, return_index=True)
-            sel = np.sort(sel)
-            return xyz[sel].astype(np.float32), coords[sel]
+        matching ME.utils.sparse_quantize usage in the loaders. Uses the native
+        C++ engine when built (deepglobalregistration_tpu/native)."""
+        from .. import native
 
-        p0, c0 = quantize(xyz0)
-        p1, c1 = quantize(xyz1)
+        p0, c0 = native.voxelize(np.ascontiguousarray(xyz0, np.float32), self.voxel_size)
+        p1, c1 = native.voxelize(np.ascontiguousarray(xyz1, np.float32), self.voxel_size)
         return p0, c0, p1, c1
 
     def __len__(self):

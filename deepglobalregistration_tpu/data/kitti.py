@@ -16,7 +16,7 @@ import random
 
 import numpy as np
 
-from ..utils.pointcloud import get_matching_indices
+from .. import native
 from .base import SPLIT_DIR, PairDataset
 from .transforms import sample_random_trans
 
@@ -152,7 +152,8 @@ class KITTIPairDataset(PairDataset):
             xyz1 = scale * xyz1
 
         p0, c0, p1, c1 = self.voxelize_pair(xyz0, xyz1)
-        matches = get_matching_indices(p0, p1, trans, matching_search_voxel_size)
+        matches = native.radius_pairs(p0, p1, trans.astype(np.float32),
+                                      matching_search_voxel_size)
         if len(matches) < self.MIN_MATCHES:
             raise ValueError(f"Insufficient matches in {drive}, {t0}, {t1}")
 

@@ -16,7 +16,8 @@ import random
 import numpy as np
 
 from ..utils.file import read_trajectory
-from ..utils.pointcloud import get_matching_indices, read_point_cloud
+from ..utils.pointcloud import read_point_cloud
+from .. import native
 from .base import SPLIT_DIR, PairDataset
 from .transforms import sample_random_trans
 
@@ -67,7 +68,8 @@ class IndoorPairDataset(PairDataset):
             trans = np.identity(4)
 
         p0, c0, p1, c1 = self.voxelize_pair(xyz0, xyz1)
-        matches = get_matching_indices(p0, p1, trans, matching_search_voxel_size)
+        matches = native.radius_pairs(p0, p1, trans.astype(np.float32),
+                                      matching_search_voxel_size)
 
         if self.use_xyz_feature:
             f0 = (p0 - p0.mean(0)).astype(np.float32)
