@@ -212,6 +212,14 @@ class DeepGlobalRegistration:
             return res.R, res.t
 
         @jax.jit
+        def safeguard_feat(key, xyz0, xyz1, feats0, feats1, num0, num1):
+            res = ransac.ransac_feature_matching(
+                key, xyz0, xyz1, feats0, feats1, num0, num1,
+                distance_threshold=2 * voxel,
+                num_hypotheses=self.ransac_hypotheses)
+            return res.R, res.t
+
+        @jax.jit
         def icp_polish(xyz0, xyz1, num0, num1, T):
             res = icp_ops.registration_icp(xyz0, xyz1, num0, num1,
                                            max_correspondence_distance=2 * voxel,
@@ -223,6 +231,7 @@ class DeepGlobalRegistration:
         self._match_and_inlier = match_and_inlier
         self._refine = refine
         self._safeguard = safeguard
+        self._safeguard_feat = safeguard_feat
         self._icp_polish = icp_polish
 
     # ------------------------------------------------------------------
@@ -281,9 +290,16 @@ class DeepGlobalRegistration:
             T[:3, 3] = np.asarray(t)
             log.info("=> DGR takes %.2f s", self.reg_timer.toc(False))
         else:
+            # Safeguard RANSAC (deep_global_registration.py:302-315); the
+            # 'feature_matching' mode re-derives correspondences from features
+            # (repairing the reference's broken branch at :228-233).
             self._rng, key = jax.random.split(self._rng)
-            valid = (np.arange(net_cap) < num0)
-            R, t = self._safeguard(key, xyz0_corr, xyz1_corr, grids.num[0])
+            if self.safeguard_method == "correspondence":
+                R, t = self._safeguard(key, xyz0_corr, xyz1_corr, grids.num[0])
+            else:
+                R, t = self._safeguard_feat(key, xyz_sel[0], xyz_sel[1],
+                                            feats[0], feats[1],
+                                            grids.num[0], grids.num[1])
             T[:3, :3] = np.asarray(R)
             T[:3, 3] = np.asarray(t)
             log.info("=> Safeguard takes %.2f s", self.reg_timer.toc(False))

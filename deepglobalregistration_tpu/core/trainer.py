@@ -227,7 +227,7 @@ class WeightedProcrustesTrainer:
         loss_fn = jax.jit(lambda p, s, fp, fs, b: self.loss_fn(p, s, fp, fs, b)[1][1])
         n_pairs = 0
         agg = {k: 0.0 for k in ["precision", "recall", "f1", "tpr", "tnr",
-                                "balanced_accuracy"]}
+                                "balanced_accuracy", "hit_ratio"]}
         rtes, rres, succ = [], [], []
         it = iter(self.val_data_loader)
         num_iter = min(len(self.val_data_loader), config.val_max_iter)
@@ -238,6 +238,10 @@ class WeightedProcrustesTrainer:
             cls = _classification_stats(np.asarray(stats["logits"]),
                                         np.asarray(stats["labels"]),
                                         np.asarray(stats["valid"]))
+            # hit ratio: fraction of 1-NN correspondences that are GT-correct
+            # (trainer.py:353-489 validation)
+            labels, valid = np.asarray(stats["labels"]), np.asarray(stats["valid"])
+            cls["hit_ratio"] = float((labels * valid).sum() / max(valid.sum(), 1))
             for k in agg:
                 agg[k] += cls[k]
             R = np.asarray(stats["R"])

@@ -112,3 +112,15 @@ def find_nn_xyz(xyz0: jnp.ndarray, xyz1: jnp.ndarray, num0: jnp.ndarray,
 # Batched over pairs: the reference's find_knn_batch (core/knn.py:77-140) loops
 # per-pair segments; here pairs are stacked [B, N, C] and vmapped.
 find_nn_batch = jax.vmap(find_nn, in_axes=(0, 0, 0, 0))
+
+
+def find_knn_cpu(feat0, feat1, knn: int = 1, return_distance: bool = False):
+    """Host-side KD-tree k-NN (core/knn.py:14-20 find_knn_cpu; the
+    knn_search_method='cpu' config path). numpy in/out."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    dists, nn_inds = cKDTree(np.asarray(feat1)).query(np.asarray(feat0), k=knn)
+    if return_distance:
+        return nn_inds, dists
+    return nn_inds
