@@ -76,6 +76,8 @@ class DeepGlobalRegistration:
         self.buckets = tuple(int(b) for b in str(
             getattr(config, "point_buckets", "")).split(",") if b) or _DEFAULT_BUCKETS
         self.level_shrink = int(getattr(config, "level_shrink", 2))
+        de = str(getattr(config, "dense_extent", "") or "")
+        self.dense_extent = tuple(int(x) for x in de.split(",")) if de else None
         self.ransac_hypotheses = int(getattr(config, "ransac_hypotheses", 16384))
         self._rng = jax.random.PRNGKey(0)
 
@@ -156,11 +158,13 @@ class DeepGlobalRegistration:
                 xyz_pair, nums)
             return xyz_sel, grids
 
+        dense_extent = self.dense_extent
+
         @jax.jit
         def features(fcgf_params, fcgf_state, grids, nvox):
             """Batched (B=2) FCGF forward on pre-bucketed voxel grids."""
-            plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None))(
-                grids, fcgf_cfg, shrink)
+            plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None, None))(
+                grids, fcgf_cfg, shrink, dense_extent)
             feats = jnp.ones(grids.coords.shape[:2] + (1,), jnp.float32)
             out, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan, feats,
                                      train=False)

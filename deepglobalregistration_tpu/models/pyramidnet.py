@@ -84,9 +84,12 @@ def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: flo
                             normalize_feature=normalize_feature, D=D, **_VARIANTS[name])
 
 
-def build_plan(grid0: Grid, cfg: PyramidNetConfig, level_shrink: int = 2):
+def build_plan(grid0: Grid, cfg: PyramidNetConfig, level_shrink: int = 2,
+               dense_extent=None):
     return unet_plan.build_unet_plan(grid0, cfg.conv1_kernel_size, cfg.region_type,
-                                     cfg.D, n_levels=cfg.levels, level_shrink=level_shrink)
+                                     cfg.D, n_levels=cfg.levels,
+                                     level_shrink=level_shrink,
+                                     dense_extent=dense_extent)
 
 
 def _init_cnn(key, kvol, cin, cout, norm_type):

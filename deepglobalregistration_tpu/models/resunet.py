@@ -132,12 +132,13 @@ def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: flo
 
 
 def build_resunet2_plan(grid0: Grid, cfg: ResUNetConfig,
-                        level_shrink: int = 2) -> unet_plan.UNetPlan:
+                        level_shrink: int = 2,
+                        dense_extent=None) -> unet_plan.UNetPlan:
     """Pyramid + kernel maps for this config's depth; see models/unet_plan.py."""
     return unet_plan.build_unet_plan(
         grid0, cfg.conv1_kernel_size, cfg.region_type, cfg.D,
         n_levels=cfg.levels, level_shrink=level_shrink,
-        with_pooling=cfg.family.startswith("sp"))
+        with_pooling=cfg.family.startswith("sp"), dense_extent=dense_extent)
 
 
 build_resunet2_plan_batch = jax.vmap(build_resunet2_plan, in_axes=(0, None))

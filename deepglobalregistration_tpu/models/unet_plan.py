@@ -31,13 +31,16 @@ class UNetPlan(NamedTuple):
 
 def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
                     ndim: int, n_levels: int, level_shrink: int = 2,
-                    with_pooling: bool = False) -> UNetPlan:
+                    with_pooling: bool = False,
+                    dense_extent: Tuple[int, int, int] | None = None) -> UNetPlan:
     """Build the pyramid + all kernel maps for one input cloud (jittable).
 
     level_shrink: static per-level capacity divisor (surface scans merge ~4-8x
     voxels per stride-2 level; 1 = worst-case no shrink).
     with_pooling: also build k2/s2 sum-pool + pooling-transpose maps (the
     ResUNetSP family downsamples by pooling instead of strided convs).
+    dense_extent: static [X, Y, Z] cell box enabling the dense-index lookup
+    fast path (3D only; see ops/dense_grid.py). None = hash tables.
     """
     offs3 = kernel_map.kernel_offsets(3, ndim, region_type)
     offs1 = kernel_map.kernel_offsets(conv1_kernel_size, ndim, region_type)
@@ -47,30 +50,41 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
         cap = max(grid0.capacity // (level_shrink ** level), 128)
         grids.append(sparse_grid.stride_down(grids[-1], 2 ** level, out_capacity=cap))
 
-    tables = [hashing.build_table(g.coords, g.num) for g in grids]
+    use_dense = dense_extent is not None and ndim == 3
+    if use_dense:
+        from ..ops import dense_grid
 
-    conv1_kmap = kernel_map.build_kernel_map(tables[0], grids[0], offs1, unit=1)
-    self_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
-        for i in range(n_levels))
-    down_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
-        for i in range(n_levels - 1))
-    up_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
-                                    transpose=True)
-        for i in range(n_levels - 1))
+        def ext(level):
+            return tuple(max(-(-int(e) // (1 << level)), 1) for e in dense_extent)
+
+        tables = [dense_grid.build_dense_table(g, ext(i), log2_stride=i)
+                  for i, g in enumerate(grids)]
+
+        def kmap(i, out_grid, offs, unit, transpose=False):
+            return dense_grid.build_kernel_map_dense(
+                tables[i], ext(i), i, out_grid, offs, unit, transpose=transpose)
+    else:
+        tables = [hashing.build_table(g.coords, g.num) for g in grids]
+
+        def kmap(i, out_grid, offs, unit, transpose=False):
+            return kernel_map.build_kernel_map(tables[i], out_grid, offs, unit,
+                                               transpose=transpose)
+
+    conv1_kmap = kmap(0, grids[0], offs1, unit=1)
+    self_kmaps = tuple(kmap(i, grids[i], offs3, unit=2 ** i)
+                       for i in range(n_levels))
+    down_kmaps = tuple(kmap(i, grids[i + 1], offs3, unit=2 ** i)
+                       for i in range(n_levels - 1))
+    up_kmaps = tuple(kmap(i + 1, grids[i], offs3, unit=2 ** i, transpose=True)
+                     for i in range(n_levels - 1))
     pool_down: Tuple[jnp.ndarray, ...] = ()
     pool_up: Tuple[jnp.ndarray, ...] = ()
     if with_pooling:
         offs2 = kernel_map.kernel_offsets(2, ndim, kernel_map.HYPER_CUBE)
-        pool_down = tuple(
-            kernel_map.build_kernel_map(tables[i], grids[i + 1], offs2, unit=2 ** i)
-            for i in range(n_levels - 1))
-        pool_up = tuple(
-            kernel_map.build_kernel_map(tables[i + 1], grids[i], offs2, unit=2 ** i,
-                                        transpose=True)
-            for i in range(n_levels - 1))
+        pool_down = tuple(kmap(i, grids[i + 1], offs2, unit=2 ** i)
+                          for i in range(n_levels - 1))
+        pool_up = tuple(kmap(i + 1, grids[i], offs2, unit=2 ** i, transpose=True)
+                        for i in range(n_levels - 1))
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up)

@@ -1,0 +1,116 @@
+"""Dense-grid coordinate lookup — the fast path for bounded 3D extents.
+
+For 3D voxel grids whose extent fits a static box (3DMatch rooms at 5 cm:
+~256^3; KITTI scans at 30 cm: ~768x768x128), a dense int32 index array turns a
+coordinate lookup into *address arithmetic + one gather* — versus the hash
+table's bucket gather + 8-slot window probe over multiple key words
+(ops/hashing.py). Kernel-map construction is the framework's hottest
+non-GEMM operation, so this cuts its memory traffic by ~10x.
+
+The box SIZE is static (config); its ORIGIN is dynamic (the per-cloud
+coordinate minimum), so any scene position works as long as the span fits.
+Coordinates outside the span fall back to "absent" (-1) — callers choose
+extents with headroom; the builder reports an ``overflow`` flag like the hash
+table does. At pyramid level l the coordinates are multiples of 2^l, so the
+dense array shrinks 8x per level (total memory ~1.14x the level-0 box).
+
+6D inlier-net grids cannot use a dense box (extent^6); they stay on the hash
+path — build_unet_plan auto-selects per dimensionality.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .sparse_grid import Grid
+
+
+class DenseTable(NamedTuple):
+    """Dense index over a [X, Y, Z] box at a given tensor stride.
+
+    dense:    int32 [X*Y*Z] — row index at each in-box cell, -1 if empty.
+    cmin:     int32 [3] — dynamic coordinate origin of the box.
+    overflow: bool — some valid coordinate fell outside the box (lookups for
+              those rows return -1; size your extent with headroom).
+    num:      int32 scalar.
+    """
+
+    dense: jnp.ndarray
+    cmin: jnp.ndarray
+    overflow: jnp.ndarray
+    num: jnp.ndarray
+
+
+def build_dense_table(grid: Grid, extent: Tuple[int, int, int],
+                      log2_stride: int = 0) -> DenseTable:
+    """Scatter row indices of a (unique-coordinate) grid into the dense box.
+
+    extent: static box size in cells *at this level's stride granularity*.
+    log2_stride: coordinates are multiples of 2**log2_stride (pyramid level).
+    """
+    ex, ey, ez = (int(e) for e in extent)
+    n = grid.capacity
+    valid = grid.valid_mask()
+    big = jnp.int32(1 << 29)
+    coords = jnp.where(valid[:, None], grid.coords, big)
+    cmin = jnp.min(coords, axis=0)  # dynamic origin (valid rows only)
+    rel0 = (grid.coords[:, 0] - cmin[0]) >> log2_stride
+    rel1 = (grid.coords[:, 1] - cmin[1]) >> log2_stride
+    rel2 = (grid.coords[:, 2] - cmin[2]) >> log2_stride
+    inb = ((rel0 >= 0) & (rel0 < ex) & (rel1 >= 0) & (rel1 < ey)
+           & (rel2 >= 0) & (rel2 < ez) & valid)
+    addr = (rel0 * ey + rel1) * ez + rel2
+    size = ex * ey * ez
+    dense = jnp.full((size,), -1, jnp.int32)
+    dense = dense.at[jnp.where(inb, addr, size)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    overflow = jnp.any(valid & jnp.logical_not(inb))
+    return DenseTable(dense=dense, cmin=cmin, overflow=overflow, num=grid.num)
+
+
+def dense_lookup_cols(table: DenseTable, extent: Tuple[int, int, int],
+                      log2_stride: int, qcols: Sequence[jnp.ndarray],
+                      query_valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Lookup per-dimension query coordinate arrays (any common shape)."""
+    ex, ey, ez = (int(e) for e in extent)
+    d0 = qcols[0] - table.cmin[0]
+    d1 = qcols[1] - table.cmin[1]
+    d2 = qcols[2] - table.cmin[2]
+    rel0, rel1, rel2 = d0 >> log2_stride, d1 >> log2_stride, d2 >> log2_stride
+    inb = ((rel0 >= 0) & (rel0 < ex) & (rel1 >= 0) & (rel1 < ey)
+           & (rel2 >= 0) & (rel2 < ez))
+    if log2_stride > 0:
+        # Table coordinates are multiples of 2**log2_stride; a misaligned query
+        # (e.g. a transpose-conv site between coarse cells) must miss, not
+        # alias onto the floor cell.
+        mask = jnp.int32((1 << log2_stride) - 1)
+        inb = inb & ((d0 & mask) == 0) & ((d1 & mask) == 0) & ((d2 & mask) == 0)
+    if query_valid is not None:
+        inb = inb & query_valid
+    addr = jnp.where(inb, (rel0 * ey + rel1) * ez + rel2, 0)
+    hit = table.dense[addr]
+    return jnp.where(inb, hit, -1).astype(jnp.int32)
+
+
+def build_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
+                           log2_stride: int, out_grid: Grid, offsets,
+                           unit: int, transpose: bool = False) -> jnp.ndarray:
+    """Kernel map [K, M] through the dense index (3D only)."""
+    import numpy as np
+
+    k, d = offsets.shape
+    assert d == 3, "dense grid lookup is 3D-only"
+    sign = -1 if transpose else 1
+    offs = np.asarray(offsets) * unit * sign
+    out_valid = out_grid.valid_mask()
+    out_cols = tuple(out_grid.coords[:, i] for i in range(3))
+    m = out_grid.capacity
+    # One shot: [K, M] per-dim queries; the dense gather is 1 load per query so
+    # no offset chunking is needed even for K=343.
+    off_d = jnp.asarray(offs, dtype=jnp.int32)
+    qcols = tuple(out_cols[i][None, :] + off_d[:, i][:, None] for i in range(3))
+    qv = jnp.broadcast_to(out_valid[None, :], (k, m))
+    return dense_lookup_cols(table, extent, log2_stride, qcols, query_valid=qv)

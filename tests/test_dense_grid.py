@@ -1,0 +1,70 @@
+"""Dense-grid lookup backend vs the hash backend (must agree exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepglobalregistration_tpu.models import unet_plan
+from deepglobalregistration_tpu.ops import dense_grid, hashing, kernel_map
+from deepglobalregistration_tpu.ops.sparse_grid import Grid
+
+
+def _grid(rng, n, cap, lo=-12, hi=12):
+    c = np.unique(rng.randint(lo, hi, size=(2 * n, 3)).astype(np.int32), axis=0)
+    rng.shuffle(c)
+    c = c[:n]
+    pad = np.full((cap - len(c), 3), 32766, np.int32)
+    return Grid(jnp.asarray(np.concatenate([c, pad])), jnp.int32(len(c)))
+
+
+def test_dense_table_lookup_matches_hash(rng):
+    g = _grid(rng, 120, 128)
+    ext = (32, 32, 32)
+    dt = dense_grid.build_dense_table(g, ext)
+    ht = hashing.build_table(g.coords, g.num)
+    q = rng.randint(-14, 14, size=(300, 3)).astype(np.int32)
+    got_d = np.asarray(dense_grid.dense_lookup_cols(
+        dt, ext, 0, tuple(jnp.asarray(q[:, i]) for i in range(3))))
+    got_h = np.asarray(hashing.lookup(ht, jnp.asarray(q)))
+    np.testing.assert_array_equal(got_d, got_h)
+    assert not bool(dt.overflow)
+
+
+def test_dense_overflow_flag(rng):
+    g = _grid(rng, 100, 128, lo=-40, hi=40)
+    dt = dense_grid.build_dense_table(g, (16, 16, 16))
+    assert bool(dt.overflow)
+
+
+@pytest.mark.parametrize("transpose", [False, True])
+def test_dense_kernel_map_matches_hash(rng, transpose):
+    from deepglobalregistration_tpu.ops.sparse_grid import stride_down
+
+    g0 = _grid(rng, 150, 160)
+    g1 = stride_down(g0, 2)
+    offs = kernel_map.kernel_offsets(3, 3)
+    ext = (40, 40, 40)
+    if not transpose:
+        dt = dense_grid.build_dense_table(g0, ext, 0)
+        ht = hashing.build_table(g0.coords, g0.num)
+        got_d = np.asarray(dense_grid.build_kernel_map_dense(dt, ext, 0, g1, offs, 1))
+        got_h = np.asarray(kernel_map.build_kernel_map(ht, g1, offs, 1))
+    else:
+        ext1 = (20, 20, 20)
+        dt = dense_grid.build_dense_table(g1, ext1, 1)
+        ht = hashing.build_table(g1.coords, g1.num)
+        got_d = np.asarray(dense_grid.build_kernel_map_dense(dt, ext1, 1, g0, offs, 1,
+                                                             transpose=True))
+        got_h = np.asarray(kernel_map.build_kernel_map(ht, g0, offs, 1, transpose=True))
+    np.testing.assert_array_equal(got_d, got_h)
+
+
+def test_unet_plan_dense_matches_hash(rng):
+    g0 = _grid(rng, 150, 160)
+    plan_h = unet_plan.build_unet_plan(g0, 3, kernel_map.HYPER_CUBE, 3, 4,
+                                       level_shrink=1)
+    plan_d = unet_plan.build_unet_plan(g0, 3, kernel_map.HYPER_CUBE, 3, 4,
+                                       level_shrink=1, dense_extent=(40, 40, 40))
+    for a, b in zip(jax.tree.leaves(plan_h), jax.tree.leaves(plan_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
