@@ -180,7 +180,8 @@ class DeepGlobalRegistration:
             'feats' | 'coords', sigmoid + clip at clip_weight_thresh.
             """
             idx1, _ = knn.find_nn(feats0, feats1, num0, num1)
-            coords6 = jnp.concatenate([coords0, coords1[idx1]], axis=1)
+            c0, c1 = coords0, coords1[idx1]
+            coords6 = jnp.concatenate([c0, c1], axis=1)
             grid6 = Grid(coords=coords6, num=num0)
             if self.inlier_feature_type == "ones":
                 ifeat = jnp.ones((coords6.shape[0], 1), jnp.float32)
@@ -190,8 +191,19 @@ class DeepGlobalRegistration:
                 ifeat = jnp.concatenate([jnp.cos(xyz0), jnp.cos(xyz1[idx1])], axis=1)
             else:
                 raise TypeError(f"undefined inlier feature type {self.inlier_feature_type}")
-            plan = jax.vmap(inlier_spec.build_plan, in_axes=(0, None, None))(
-                jax.tree.map(lambda x: x[None], grid6), inlier_cfg, shrink)
+            # The paired fast path builds the heavy level-0 6D maps via 3D
+            # lookups (ops/paired_kernel_map.py); pyramid nets and SP variants
+            # need extra map kinds and use the generic builder.
+            from ..models import unet_plan as up
+
+            if hasattr(inlier_cfg, "family") and not inlier_cfg.family.startswith("sp"):
+                plan = up.build_paired_unet_plan(
+                    c0, c1, num0, inlier_cfg.conv1_kernel_size,
+                    inlier_cfg.region_type, inlier_cfg.levels, shrink)
+                plan = jax.tree.map(lambda x: x[None], plan)
+            else:
+                plan = jax.vmap(inlier_spec.build_plan, in_axes=(0, None, None))(
+                    jax.tree.map(lambda x: x[None], grid6), inlier_cfg, shrink)
             logits, _ = inlier_spec.apply(inlier_params, inlier_state, inlier_cfg,
                                           plan, ifeat[None], train=False)
             w = jax.nn.sigmoid(logits[0, :, 0])

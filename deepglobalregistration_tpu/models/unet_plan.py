@@ -98,3 +98,46 @@ def identity_kmap(grid: Grid) -> jnp.ndarray:
 import jax as _jax
 
 identity_kmap_batched = _jax.vmap(identity_kmap)
+
+
+def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
+                           conv1_kernel_size: int, region_type: int,
+                           n_levels: int, level_shrink: int = 2) -> UNetPlan:
+    """UNet plan for the 6D correspondence grid of the inlier net.
+
+    Level-0 kernel maps (the conv1 map and the k3 self map — by far the
+    heaviest, 729 offsets for HYPER_CUBE) go through the paired fast path
+    (ops/paired_kernel_map.py: 3D lookups + compares, exploiting the
+    uniqueness of c0 per row). Deeper levels use the generic hash tables.
+    """
+    from ..ops import paired_kernel_map
+
+    ndim = 6
+    offs3 = kernel_map.kernel_offsets(3, ndim, region_type)
+    offs1 = kernel_map.kernel_offsets(conv1_kernel_size, ndim, region_type)
+    grid0 = Grid(coords=jnp.concatenate([c0, c1], axis=1), num=num)
+
+    grids = [grid0]
+    for level in range(1, n_levels):
+        cap = max(grid0.capacity // (level_shrink ** level), 128)
+        grids.append(sparse_grid.stride_down(grids[-1], 2 ** level, out_capacity=cap))
+    # The level-0 6D hash table is still needed for the first down map; deeper
+    # levels use hash tables for everything.
+    tables = [hashing.build_table(g.coords, g.num) for g in grids]
+
+    conv1_kmap = paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs1)
+    self0 = conv1_kmap if conv1_kernel_size == 3 else \
+        paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs3)
+    self_kmaps = (self0,) + tuple(
+        kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
+        for i in range(1, n_levels))
+    down_kmaps = tuple(
+        kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
+        for i in range(n_levels - 1))
+    up_kmaps = tuple(
+        kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
+                                    transpose=True)
+        for i in range(n_levels - 1))
+    return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
+                    self_kmaps=self_kmaps, down_kmaps=down_kmaps,
+                    up_kmaps=up_kmaps)
