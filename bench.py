@@ -39,11 +39,14 @@ def main():
     # warmup / compile
     dgr.register(pairs[0][0], pairs[0][1])
 
-    reps = 8
+    # Adaptive rep count: measure for up to ~90 s or 8 reps, whichever first
+    # (tunnel compile/dispatch latencies vary wildly between sessions).
     t0 = time.time()
-    for i in range(reps):
-        xyz0, xyz1, _ = pairs[i % len(pairs)]
+    reps = 0
+    while reps < 8 and (reps < 2 or time.time() - t0 < 90):
+        xyz0, xyz1, _ = pairs[reps % len(pairs)]
         dgr.register(xyz0, xyz1)
+        reps += 1
     dt = (time.time() - t0) / reps
     pairs_per_sec = 1.0 / dt
 

@@ -137,7 +137,17 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
             config.inlier_feature_type)
 
         grid6 = Grid(coords=coords6, num=batch.num0)
-        plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
+        if hasattr(inlier_cfg, "family") and not inlier_cfg.family.startswith("sp"):
+            # paired 6D fast path (see core/pipeline.py inlier stage)
+            from ..models import unet_plan as up
+
+            plan6 = jax.vmap(up.build_paired_unet_plan,
+                             in_axes=(0, 0, 0, None, None, None))(
+                coords6[..., :3], coords6[..., 3:], batch.num0,
+                inlier_cfg.conv1_kernel_size, inlier_cfg.region_type,
+                inlier_cfg.levels)
+        else:
+            plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
         logits, new_state = inlier_spec.apply(inlier_params, inlier_state, inlier_cfg,
                                               plan6, ifeats, train=True)
         logits = logits[..., 0]  # [B, N]
