@@ -17,7 +17,6 @@ REFERENCE_PAIRS_PER_SEC = 1.43  # CUDA DGR ~0.7 s/pair end-to-end on 3DMatch
 
 
 def main():
-    import numpy as np
 
     import jax
 

@@ -18,8 +18,7 @@ cross-device BatchNorm reductions automatically (SURVEY.md section 2.3).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

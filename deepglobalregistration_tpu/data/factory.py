@@ -12,7 +12,7 @@ import torch.utils.data
 
 from .kitti import KITTINMPairDataset, KITTIPairDataset
 from .threedmatch import (ThreeDMatchPairDataset03, ThreeDMatchPairDataset05,
-                          ThreeDMatchPairDataset07, ThreeDMatchTrajectoryDataset)
+                          ThreeDMatchPairDataset07)
 from .collate import CollationFunctionFactory
 from . import transforms as t
 

@@ -25,7 +25,6 @@ one place):
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

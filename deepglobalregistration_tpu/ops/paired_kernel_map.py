@@ -22,7 +22,6 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import hashing
-from .sparse_grid import Grid
 
 
 def build_kernel_map_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,

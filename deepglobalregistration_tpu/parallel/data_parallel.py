@@ -12,8 +12,6 @@ this module accelerates training and batched evaluation fan-out.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

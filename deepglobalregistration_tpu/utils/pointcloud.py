@@ -8,7 +8,6 @@ demo.py:34-36). These run in the CPU data pipeline, not on device.
 
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np

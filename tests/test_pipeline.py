@@ -60,3 +60,19 @@ def test_register_safeguard_path_runs(rng, dgr):
     R = T[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
     assert abs(np.linalg.det(R) - 1) < 1e-4
+
+
+def test_register_with_dense_extent(rng):
+    # the dense-index kernel-map fast path must not change results
+    cfg = default_config(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1,
+        dense_extent="64,64,64")
+    dgr2 = DeepGlobalRegistration(cfg)
+    xyz = _cloud(rng)
+    t = np.array([8, 8, -8], np.float32) * dgr2.voxel_size
+    T = dgr2.register(xyz, xyz + t)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
