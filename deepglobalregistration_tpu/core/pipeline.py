@@ -34,7 +34,7 @@ import numpy as np
 
 from ..models import load_model
 from ..ops import icp as icp_ops
-from ..ops import knn, ransac, sparse_grid
+from ..ops import knn, ransac, se3, sparse_grid
 from ..ops.sparse_grid import Grid
 from ..utils import checkpoint as ckpt_utils
 from ..utils.timer import Timer
@@ -170,15 +170,17 @@ class DeepGlobalRegistration:
                                      train=False)
             return out
 
-        @jax.jit
-        def match_and_inlier(inlier_params, inlier_state, feats0, feats1, xyz0, xyz1,
-                             coords0, coords1, num0, num1):
+        def match_inlier_core(feats0, feats1, xyz0, xyz1,
+                              coords0, coords1, num0, num1,
+                              inlier_params=None, inlier_state=None):
             """1-NN matching + 6D inlier prediction -> clipped weights + wsum.
 
             Mirrors deep_global_registration.py:171-272: corres_idx0 = arange,
             corres_idx1 = feature 1-NN, 6D coords = concat, feature type 'ones' |
             'feats' | 'coords', sigmoid + clip at clip_weight_thresh.
             """
+            if inlier_params is None:
+                inlier_params, inlier_state = self.inlier_params, self.inlier_state
             idx1, _ = knn.find_nn(feats0, feats1, num0, num1)
             c0, c1 = coords0, coords1[idx1]
             coords6 = jnp.concatenate([c0, c1], axis=1)
@@ -214,6 +216,12 @@ class DeepGlobalRegistration:
             return idx1, w, jnp.sum(w)
 
         @jax.jit
+        def match_and_inlier(inlier_params, inlier_state, feats0, feats1, xyz0, xyz1,
+                             coords0, coords1, num0, num1):
+            return match_inlier_core(feats0, feats1, xyz0, xyz1, coords0, coords1,
+                                     num0, num1, inlier_params, inlier_state)
+
+        @jax.jit
         def refine(xyz0_corr, xyz1_corr, weights):
             res = registration.global_registration(
                 xyz0_corr, xyz1_corr, weights,
@@ -245,10 +253,91 @@ class DeepGlobalRegistration:
         self._quantize = quantize
         self._features = features
         self._match_and_inlier = match_and_inlier
+        self._match_inlier_core = match_inlier_core
         self._refine = refine
         self._safeguard = safeguard
         self._safeguard_feat = safeguard_feat
         self._icp_polish = icp_polish
+
+    # ------------------------------------------------------------------
+    # batched / multi-chip registration (eval fan-out; SURVEY.md section 2.3)
+    # ------------------------------------------------------------------
+    def _register_pair_device(self, key, xyz0_p, xyz1_p, n0_raw, n1_raw):
+        """One pair end-to-end on device, no host syncs (vmap/shard-ready).
+
+        Unlike register(), the safeguard gate cannot branch on host, so both
+        the refinement and (a reduced-budget) RANSAC run and the result is
+        selected by the weighted-sum gate — the price of batch fusion.
+        """
+        voxel = float(self.voxel_size)
+        xyz_pair = jnp.stack([xyz0_p, xyz1_p])
+        nums = jnp.stack([n0_raw, n1_raw])
+        xyz_sel, grids = jax.vmap(lambda x, n: sparse_grid.voxelize(x, n, voxel))(
+            xyz_pair, nums)
+        plan = jax.vmap(self.fcgf_spec.build_plan, in_axes=(0, None, None, None))(
+            grids, self.fcgf_cfg, self.level_shrink, self.dense_extent)
+        feats_in = jnp.ones(grids.coords.shape[:2] + (1,), jnp.float32)
+        feats, _ = self.fcgf_spec.apply(self.fcgf_params, self.fcgf_state,
+                                        self.fcgf_cfg, plan, feats_in, train=False)
+        idx1, weights, wsum = self._match_inlier_core(
+            feats[0], feats[1], xyz_sel[0], xyz_sel[1],
+            grids.coords[0], grids.coords[1], grids.num[0], grids.num[1])
+
+        xyz0_corr = xyz_sel[0]
+        xyz1_corr = xyz_sel[1][idx1]
+        res = registration.global_registration(
+            xyz0_corr, xyz1_corr, weights,
+            break_threshold_ratio=1e-4, quantization_size=2 * voxel)
+        rr = ransac.ransac_correspondence(
+            key, xyz0_corr, xyz1_corr, grids.num[0], distance_threshold=2 * voxel,
+            num_hypotheses=min(self.ransac_hypotheses, 4096))
+        thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
+        use_refine = wsum >= thresh
+        R = jnp.where(use_refine, res.R, rr.R)
+        t = jnp.where(use_refine, res.t, rr.t)
+        T = se3.rt_to_matrix(R, t)
+        if self.use_icp:
+            T = icp_ops.registration_icp(
+                xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
+                max_correspondence_distance=2 * voxel, init=T).T
+        return T
+
+    def register_batch(self, xyz0_list, xyz1_list, mesh=None) -> np.ndarray:
+        """Register many pairs in one fused jit, optionally sharded over a
+        jax.sharding mesh ('data' axis) for multi-chip evaluation fan-out.
+
+        Returns [B, 4, 4] transforms. Pads the batch to the device count when
+        sharded.
+        """
+        clouds0 = [self.preprocess(x) for x in xyz0_list]
+        clouds1 = [self.preprocess(x) for x in xyz1_list]
+        b = len(clouds0)
+        cap = _bucket_for(max(max(len(c) for c in clouds0),
+                              max(len(c) for c in clouds1)), self.buckets)
+        pad_b = b
+        if mesh is not None:
+            nd = mesh.devices.size
+            pad_b = -(-b // nd) * nd
+        x0 = np.stack([_pad_cloud(clouds0[i % b], cap) for i in range(pad_b)])
+        x1 = np.stack([_pad_cloud(clouds1[i % b], cap) for i in range(pad_b)])
+        n0 = np.array([len(clouds0[i % b]) for i in range(pad_b)], np.int32)
+        n1 = np.array([len(clouds1[i % b]) for i in range(pad_b)], np.int32)
+        self._rng, key = jax.random.split(self._rng)
+        keys = jax.random.split(key, pad_b)
+
+        fn = jax.jit(jax.vmap(self._register_pair_device))
+        args = (keys, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(n0),
+                jnp.asarray(n1))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P("data"))
+            args = tuple(jax.device_put(a, sharding) for a in args)
+            with mesh:
+                T = fn(*args)
+        else:
+            T = fn(*args)
+        return np.asarray(T)[:b]
 
     # ------------------------------------------------------------------
     # public API

@@ -80,9 +80,15 @@ def make_optimizer(name: str, lr_schedule, config) -> optax.GradientTransformati
 
 
 def generate_inlier_input(fcgf_apply, fcgf_params, fcgf_state, fcgf_cfg,
-                          batch: PairBatch, inlier_feature_type: str):
+                          batch: PairBatch, inlier_feature_type: str,
+                          inlier_knn: int = 1):
     """Frozen FCGF forward + per-pair matching + 6D input assembly
-    (trainer.py:630-658 generate_inlier_input / find_pairs)."""
+    (trainer.py:630-658 generate_inlier_input / find_pairs).
+
+    inlier_knn > 1 emits k correspondences per cloud-0 point (config
+    --inlier_knn; trainer find_pairs knn argument), flattened into the
+    correspondence axis.
+    """
     b, n = batch.xyz0.shape[:2]
     # Stack both clouds of every pair into one 2B "ME batch" for the feature net.
     grids = Grid(coords=jnp.concatenate([batch.coords0, batch.coords1], 0),
@@ -94,7 +100,21 @@ def generate_inlier_input(fcgf_apply, fcgf_params, fcgf_state, fcgf_cfg,
     feats = jax.lax.stop_gradient(feats)  # frozen FCGF (trainer.py:160-162)
     f0, f1 = feats[:b], feats[b:]
 
-    nn_idx, _ = knn.find_nn_batch(f0, f1, batch.num0, batch.num1)  # [B, N]
+    if inlier_knn > 1:
+        knn_idx, _ = jax.vmap(knn.find_knn, in_axes=(0, 0, 0, 0, None))(
+            f0, f1, batch.num0, batch.num1, inlier_knn)  # [B, N, k]
+        k = inlier_knn
+        # flatten to [B, N*k] correspondences; replicate the batch views so the
+        # downstream code is k-agnostic
+        nn_idx = knn_idx.reshape(b, n * k)
+        rep = lambda x: jnp.repeat(x, k, axis=1)
+        batch = batch._replace(
+            xyz0=rep(batch.xyz0), coords0=rep(batch.coords0),
+            num0=batch.num0 * k)
+        f0 = rep(f0)
+        n = n * k
+    else:
+        nn_idx, _ = knn.find_nn_batch(f0, f1, batch.num0, batch.num1)  # [B, N]
     coords6 = jnp.concatenate([batch.coords0,
                                jnp.take_along_axis(batch.coords1, nn_idx[..., None], 1)], -1)
     if inlier_feature_type == "ones":
@@ -109,12 +129,16 @@ def generate_inlier_input(fcgf_apply, fcgf_params, fcgf_state, fcgf_cfg,
     else:
         raise TypeError(f"undefined inlier feature type {inlier_feature_type}")
 
+    # predicted pair (source point index, matched index); with inlier_knn > 1
+    # the source index is the ORIGINAL point id i = row // k (reference
+    # find_pairs emits (i, nn_j) per neighbor).
+    src_idx = jnp.arange(n, dtype=jnp.int32) // max(inlier_knn, 1)
     pred_pairs = jnp.concatenate(
-        [jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :, None], (b, n, 1)),
+        [jnp.broadcast_to(src_idx[None, :, None], (b, n, 1)),
          nn_idx[..., None].astype(jnp.int32)], -1)
     is_correct = jax.vmap(correspondence.find_correct_correspondence)(
         batch.pos_pairs, batch.pos_num, pred_pairs, batch.num0)
-    return coords6, ifeats, nn_idx, is_correct
+    return coords6, ifeats, nn_idx, is_correct, batch
 
 
 def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
@@ -131,12 +155,16 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
 
     def loss_fn(inlier_params, inlier_state, fcgf_params, fcgf_state, batch: PairBatch):
         b, n = batch.xyz0.shape[:2]
-        coords6, ifeats, nn_idx, is_correct = generate_inlier_input(
+        coords6, ifeats, nn_idx, is_correct, batch = generate_inlier_input(
             fcgf_spec, fcgf_params, fcgf_state, fcgf_cfg, batch,
-            config.inlier_feature_type)
+            config.inlier_feature_type, inlier_knn=getattr(config, "inlier_knn", 1))
+        b, n = batch.xyz0.shape[:2]
 
         grid6 = Grid(coords=coords6, num=batch.num0)
-        if hasattr(inlier_cfg, "family") and not inlier_cfg.family.startswith("sp"):
+        # the paired fast path needs unique c0 per row: only valid for 1-NN
+        if (getattr(config, "inlier_knn", 1) == 1
+                and hasattr(inlier_cfg, "family")
+                and not inlier_cfg.family.startswith("sp")):
             # paired 6D fast path (see core/pipeline.py inlier stage)
             from ..models import unet_plan as up
 

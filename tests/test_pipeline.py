@@ -76,3 +76,28 @@ def test_register_with_dense_extent(rng):
     T = dgr2.register(xyz, xyz + t)
     np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+
+
+def test_register_batch_matches_register(rng, dgr):
+    xyz = _cloud(rng, 380)
+    ts = [np.array([8, -8, 8], np.float32) * dgr.voxel_size,
+          np.array([-8, 16, -8], np.float32) * dgr.voxel_size]
+    pairs1 = [xyz + t for t in ts]
+    Ts = dgr.register_batch([xyz, xyz], pairs1)
+    assert Ts.shape == (2, 4, 4)
+    for T, t in zip(Ts, ts):
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
+        np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-2)
+
+
+def test_register_batch_sharded(rng, dgr):
+    from deepglobalregistration_tpu.parallel.data_parallel import make_mesh
+
+    mesh = make_mesh(4)
+    xyz = _cloud(rng, 300)
+    t = np.array([8, 8, 8], np.float32) * dgr.voxel_size
+    # 3 pairs over a 4-device mesh exercises batch padding
+    Ts = dgr.register_batch([xyz] * 3, [xyz + t] * 3, mesh=mesh)
+    assert Ts.shape == (3, 4, 4)
+    for T in Ts:
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.03)

@@ -116,3 +116,31 @@ def test_nan_grad_guard(rng):
     assert not bool(stats["grad_finite"])
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                  ip, params)
+
+
+def test_train_step_inlier_knn2(rng):
+    config = default_config(feat_model="ResUNetBN2F", feat_model_n_out=8,
+                            inlier_model="ResUNetBN2FX", inlier_knn=2)
+    fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, fp, fs, ip, is_ = _setup(config)
+    optimizer = ts.make_optimizer("SGD", lambda s: 0.1, config)
+    opt_state = optimizer.init(ip)
+    step_fn, loss_fn = ts.make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg,
+                                          config, optimizer)
+    batch = dp.synthetic_pair_batch(rng, b=2, n=128, p=48)
+    loss, (state2, stats) = loss_fn(ip, is_, fp, fs, batch)
+    assert np.isfinite(float(loss))
+    # correspondence axis doubled: logits over N*k rows
+    assert stats["logits"].shape[1] == 256
+    # labels match the numpy oracle applied to the expanded correspondences
+    c6, _, nn_idx, is_corr, batch2 = ts.generate_inlier_input(
+        fcgf_spec, fp, fs, fcgf_cfg, batch, "ones", inlier_knn=2)
+    from deepglobalregistration_tpu.core.correspondence import \
+        find_correct_correspondence_np
+
+    b0 = 0
+    n_exp = int(batch2.num0[b0])
+    pred = np.stack([np.arange(n_exp) // 2,
+                     np.asarray(nn_idx)[b0, :n_exp]], 1)
+    pos = np.asarray(batch.pos_pairs)[b0, : int(batch.pos_num[b0])]
+    expect = find_correct_correspondence_np(pos, pred)
+    np.testing.assert_array_equal(np.asarray(is_corr)[b0, :n_exp], expect)
