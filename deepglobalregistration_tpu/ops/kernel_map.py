@@ -26,6 +26,7 @@ one place):
 from __future__ import annotations
 
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,14 +94,27 @@ def build_kernel_map(in_table: hashing.CoordTable, out_grid: Grid,
     out_cols = tuple(out_grid.coords[:, i] for i in range(d))
 
     chunk = max(1, min(k, _MAX_QUERY_ELEMS // max(m, 1)))
-    maps = []
-    for start in range(0, k, chunk):
-        c = min(chunk, k - start)
-        off_chunk = jnp.asarray(offs[start:start + c], dtype=jnp.int32)  # [c, D]
-        qcols = tuple(out_cols[i][None, :] + off_chunk[:, i][:, None] for i in range(d))
-        qv = jnp.broadcast_to(out_valid[None, :], (c, m))
-        maps.append(hashing.lookup_cols(in_table, qcols, query_valid=qv))
-    return jnp.concatenate(maps, axis=0)
+    if chunk >= k:
+        off_d = jnp.asarray(offs, dtype=jnp.int32)
+        qcols = tuple(out_cols[i][None, :] + off_d[:, i][:, None] for i in range(d))
+        qv = jnp.broadcast_to(out_valid[None, :], (k, m))
+        return hashing.lookup_cols(in_table, qcols, query_valid=qv)
+
+    # Scan over offset chunks (vs unrolling ~12 lookup stages for a 729-offset
+    # 6D map — keeps XLA graphs small; see sparse_conv for the same pattern).
+    n_chunks = -(-k // chunk)
+    pad = n_chunks * chunk - k
+    offs_p = np.concatenate([offs, np.zeros((pad, d), offs.dtype)], axis=0)
+    offs_c = jnp.asarray(offs_p.reshape(n_chunks, chunk, d), dtype=jnp.int32)
+
+    def body(_, off_chunk):
+        qcols = tuple(out_cols[i][None, :] + off_chunk[:, i][:, None]
+                      for i in range(d))
+        qv = jnp.broadcast_to(out_valid[None, :], (chunk, m))
+        return None, hashing.lookup_cols(in_table, qcols, query_valid=qv)
+
+    _, maps = jax.lax.scan(body, None, offs_c)
+    return maps.reshape(n_chunks * chunk, m)[:k]
 
 
 def self_kernel_map(grid: Grid, table: hashing.CoordTable, kernel_size: int,

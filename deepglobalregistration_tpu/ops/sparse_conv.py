@@ -54,16 +54,31 @@ def sparse_conv(feats: jnp.ndarray, kernel: jnp.ndarray, kmap: jnp.ndarray,
         gathered = jnp.where(valid[:, None], feats[jnp.maximum(kmap[0], 0)], 0)
         out = jnp.dot(gathered, kernel[0].astype(compute_dtype),
                       preferred_element_type=jnp.float32)
+    elif k <= _CONV_CHUNK:
+        valid = kmap >= 0
+        gathered = jnp.where(valid[..., None], feats[jnp.maximum(kmap, 0)], 0)
+        out = jnp.einsum("kmc,kcd->md", gathered, kernel.astype(compute_dtype),
+                         preferred_element_type=jnp.float32)
     else:
-        out = jnp.zeros((m, cout), dtype=jnp.float32)
-        for start in range(0, k, _CONV_CHUNK):
-            idx = kmap[start:start + _CONV_CHUNK]  # [c, M]
-            w = kernel[start:start + _CONV_CHUNK].astype(compute_dtype)  # [c, Cin, Cout]
+        # Scan over offset chunks instead of unrolling: a 729-offset 6D conv
+        # would otherwise emit ~23 gather+GEMM stages per conv and blow up
+        # XLA graph size / compile time across a ~30-conv net.
+        n_chunks = -(-k // _CONV_CHUNK)
+        pad = n_chunks * _CONV_CHUNK - k
+        kmap_p = jnp.pad(kmap, ((0, pad), (0, 0)), constant_values=-1)
+        kern_p = jnp.pad(kernel.astype(compute_dtype), ((0, pad), (0, 0), (0, 0)))
+        kmap_c = kmap_p.reshape(n_chunks, _CONV_CHUNK, m)
+        kern_c = kern_p.reshape(n_chunks, _CONV_CHUNK, cin, cout)
+
+        def body(acc, chunk):
+            idx, w = chunk
             valid = idx >= 0
-            gathered = feats[jnp.maximum(idx, 0)]  # [c, M, Cin]
-            gathered = jnp.where(valid[..., None], gathered, 0)
-            out = out + jnp.einsum("kmc,kcd->md", gathered, w,
-                                   preferred_element_type=jnp.float32)
+            gathered = jnp.where(valid[..., None], feats[jnp.maximum(idx, 0)], 0)
+            return acc + jnp.einsum("kmc,kcd->md", gathered, w,
+                                    preferred_element_type=jnp.float32), None
+
+        out, _ = jax.lax.scan(body, jnp.zeros((m, cout), jnp.float32),
+                              (kmap_c, kern_c))
     if bias is not None:
         out = out + bias
     return out.astype(compute_dtype)
