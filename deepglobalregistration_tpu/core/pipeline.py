@@ -136,6 +136,15 @@ class DeepGlobalRegistration:
                 normalize_feature=False, D=6)
             self.inlier_params, self.inlier_state = self.inlier_spec.init(k1, self.inlier_cfg)
 
+        # Inference-only BN folding (utils/fold_bn.py; SURVEY.md 7.3 cheap win).
+        if getattr(config, "fold_bn", True):
+            from ..utils.fold_bn import fold_batch_norms
+
+            self.fcgf_params, self.fcgf_state, self.fcgf_cfg = fold_batch_norms(
+                self.fcgf_params, self.fcgf_state, self.fcgf_cfg)
+            self.inlier_params, self.inlier_state, self.inlier_cfg = fold_batch_norms(
+                self.inlier_params, self.inlier_state, self.inlier_cfg)
+
         self.fcgf_params = jax.tree.map(jnp.asarray, self.fcgf_params)
         self.fcgf_state = jax.tree.map(jnp.asarray, self.fcgf_state)
         self.inlier_params = jax.tree.map(jnp.asarray, self.inlier_params)

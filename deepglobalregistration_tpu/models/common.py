@@ -37,7 +37,7 @@ def init_norm(norm_type: str, c: int) -> Tuple[Params, Params]:
     if norm_type == "BN" or norm_type == "INBN":
         return ({"weight": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)},
                 {"mean": jnp.zeros((c,), jnp.float32), "var": jnp.ones((c,), jnp.float32)})
-    if norm_type == "IN":
+    if norm_type in ("IN", "NONE"):
         return {}, {}
     raise ValueError(f"norm type {norm_type} not defined")
 
@@ -49,6 +49,9 @@ def apply_norm(norm_type: str, params: Params, state: Params, feats: jnp.ndarray
     feats: [B, N, C] (BN stats span the whole batch, like torch); mask [B, N].
     Returns (out, new_state).
     """
+    if norm_type == "NONE":
+        # folded-away norm (utils/fold_bn.py); params/state are unused
+        return feats, state
     if norm_type == "IN":
         # per-instance stats: vmap instance_norm over batch
         out = jax.vmap(sc.instance_norm)(feats, mask)
