@@ -30,7 +30,8 @@ def main():
     config = default_config(
         feat_model="ResUNetBN2C", feat_model_n_out=32, feat_conv1_kernel_size=7,
         inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
-        voxel_size=0.05, inlier_feature_type="ones")
+        voxel_size=0.05, inlier_feature_type="ones",
+        dense_extent="256,256,256")  # 12.8 m box at 5 cm: dense kmap fast path
     dgr = DeepGlobalRegistration(config)
 
     pairs = [synthetic_pair(n=30000, seed=s) for s in range(4)]
