@@ -55,6 +55,10 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+        "baseline_note": "reference 1.43 pairs/s is ESTIMATED from the "
+                         "paper's speed-recall frontier figure (~0.7 s/pair); "
+                         "no numeric baseline exists in-repo, so vs_baseline "
+                         "carries that uncertainty",
     }))
 
 

@@ -89,7 +89,7 @@ opt_arg.add_argument("--icp_cache_path", type=str, default="icp")
 misc_arg = add_argument_group("Misc")
 misc_arg.add_argument("--use_gpu", type=str2bool, default=True)  # kept for CLI parity
 misc_arg.add_argument("--weights", type=str, default=None)
-misc_arg.add_argument("--weights_dir", type=str, default=None)
+misc_arg.add_argument("--weights_dir", type=str, default=None)  # parity-only (unused in the reference too, config.py:106)
 misc_arg.add_argument("--resume", type=str, default=None)
 misc_arg.add_argument("--resume_dir", type=str, default=None)
 misc_arg.add_argument("--train_num_workers", type=int, default=2)

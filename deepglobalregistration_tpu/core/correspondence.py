@@ -15,6 +15,19 @@ import numpy as np
 from ..ops import hashing
 
 
+def _widen_pairs(pairs: jnp.ndarray) -> jnp.ndarray:
+    """Split each point index across two 16-bit hash fields.
+
+    The coordinate hash clamps each field to [-32768, 32766]; raw point
+    indices >= 32767 would clamp to one packed value and silently collide
+    (clouds bucket up to 131072 voxels). Mapping index i -> (i >> 15 - 2^15,
+    (i & 0x7FFF) - 2^15) keeps both fields strictly in range for any
+    i < 2^30, so the 4-column key stays exact."""
+    hi = (pairs >> 15) - 32768
+    lo = (pairs & 0x7FFF) - 32768
+    return jnp.stack([hi[..., 0], lo[..., 0], hi[..., 1], lo[..., 1]], axis=-1)
+
+
 def find_correct_correspondence(pos_pairs: jnp.ndarray, pos_num: jnp.ndarray,
                                 pred_pairs: jnp.ndarray, pred_num: jnp.ndarray) -> jnp.ndarray:
     """Membership of predicted pairs in the GT positive set (single cloud pair).
@@ -22,9 +35,9 @@ def find_correct_correspondence(pos_pairs: jnp.ndarray, pos_num: jnp.ndarray,
     pos_pairs: [P, 2] int32 padded GT pairs; pred_pairs: [Q, 2] int32 padded.
     Returns bool [Q]; padding rows are False. Batch via jax.vmap.
     """
-    table = hashing.build_table(pos_pairs, pos_num)
+    table = hashing.build_table(_widen_pairs(pos_pairs), pos_num)
     q_valid = jnp.arange(pred_pairs.shape[0], dtype=jnp.int32) < pred_num
-    found = hashing.lookup(table, pred_pairs, query_valid=q_valid)
+    found = hashing.lookup(table, _widen_pairs(pred_pairs), query_valid=q_valid)
     return found >= 0
 
 

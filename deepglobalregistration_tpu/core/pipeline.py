@@ -79,6 +79,9 @@ class DeepGlobalRegistration:
         de = str(getattr(config, "dense_extent", "") or "")
         self.dense_extent = tuple(int(x) for x in de.split(",")) if de else None
         self.ransac_hypotheses = int(getattr(config, "ransac_hypotheses", 16384))
+        # 'gpu' = on-device tiled scan; 'cpu' = host cKDTree (reference
+        # find_knn_batch dispatch, core/knn.py:77-103).
+        self.knn_search_method = str(getattr(config, "knn_search_method", "gpu"))
         self._rng = jax.random.PRNGKey(0)
 
         if getattr(config, "weights", None):
@@ -171,26 +174,34 @@ class DeepGlobalRegistration:
 
         @jax.jit
         def features(fcgf_params, fcgf_state, grids, nvox):
-            """Batched (B=2) FCGF forward on pre-bucketed voxel grids."""
+            """Batched (B=2) FCGF forward on pre-bucketed voxel grids.
+
+            Also returns the plan's overflow flag (dropped kernel-map entries:
+            hash probe-window or --dense_extent box violation) so register()
+            can warn at its existing host sync instead of degrading silently."""
             plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None, None))(
                 grids, fcgf_cfg, shrink, dense_extent)
             feats = jnp.ones(grids.coords.shape[:2] + (1,), jnp.float32)
             out, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan, feats,
                                      train=False)
-            return out
+            return out, jnp.any(plan.overflow)
 
         def match_inlier_core(feats0, feats1, xyz0, xyz1,
                               coords0, coords1, num0, num1,
-                              inlier_params=None, inlier_state=None):
+                              inlier_params=None, inlier_state=None,
+                              idx1=None):
             """1-NN matching + 6D inlier prediction -> clipped weights + wsum.
 
             Mirrors deep_global_registration.py:171-272: corres_idx0 = arange,
             corres_idx1 = feature 1-NN, 6D coords = concat, feature type 'ones' |
             'feats' | 'coords', sigmoid + clip at clip_weight_thresh.
+            idx1: precomputed matches (the knn_search_method='cpu' host path,
+            core/knn.py:77-103 dispatch); None = on-device tiled scan ('gpu').
             """
             if inlier_params is None:
                 inlier_params, inlier_state = self.inlier_params, self.inlier_state
-            idx1, _ = knn.find_nn(feats0, feats1, num0, num1)
+            if idx1 is None:
+                idx1, _ = knn.find_nn(feats0, feats1, num0, num1)
             c0, c1 = coords0, coords1[idx1]
             coords6 = jnp.concatenate([c0, c1], axis=1)
             grid6 = Grid(coords=coords6, num=num0)
@@ -222,13 +233,21 @@ class DeepGlobalRegistration:
             if self.clip_weight_thresh > 0:
                 w = jnp.where(w < self.clip_weight_thresh, 0.0, w)
             w = jnp.where(valid, w, 0.0)
-            return idx1, w, jnp.sum(w)
+            return idx1, w, jnp.sum(w), jnp.any(plan.overflow)
 
         @jax.jit
         def match_and_inlier(inlier_params, inlier_state, feats0, feats1, xyz0, xyz1,
                              coords0, coords1, num0, num1):
             return match_inlier_core(feats0, feats1, xyz0, xyz1, coords0, coords1,
                                      num0, num1, inlier_params, inlier_state)
+
+        @jax.jit
+        def inlier_from_idx(inlier_params, inlier_state, idx1, feats0, feats1,
+                            xyz0, xyz1, coords0, coords1, num0, num1):
+            """Inlier stage with host-computed matches (knn_search_method='cpu')."""
+            return match_inlier_core(feats0, feats1, xyz0, xyz1, coords0, coords1,
+                                     num0, num1, inlier_params, inlier_state,
+                                     idx1=idx1)
 
         @jax.jit
         def refine(xyz0_corr, xyz1_corr, weights):
@@ -259,57 +278,67 @@ class DeepGlobalRegistration:
                                            init=T)
             return res.T
 
+        # ------------------------------------------------------------------
+        # batched / multi-chip registration (eval fan-out; SURVEY.md 2.3)
+        # ------------------------------------------------------------------
+        def register_pair_device(fcgf_params, fcgf_state, inlier_params,
+                                 inlier_state, key, xyz0_p, xyz1_p, n0_raw, n1_raw):
+            """One pair end-to-end on device, no host syncs (vmap/shard-ready).
+
+            Unlike register(), the safeguard gate cannot branch on host, so both
+            the refinement and (a reduced-budget) RANSAC run and the result is
+            selected by the weighted-sum gate — the price of batch fusion.
+            Params are ARGUMENTS (not closure constants) so one compiled
+            executable serves updated weights without retracing.
+            """
+            xyz_pair = jnp.stack([xyz0_p, xyz1_p])
+            nums = jnp.stack([n0_raw, n1_raw])
+            xyz_sel, grids = jax.vmap(lambda x, n: sparse_grid.voxelize(x, n, voxel))(
+                xyz_pair, nums)
+            plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None, None))(
+                grids, fcgf_cfg, shrink, dense_extent)
+            feats_in = jnp.ones(grids.coords.shape[:2] + (1,), jnp.float32)
+            feats, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan,
+                                       feats_in, train=False)
+            idx1, weights, wsum, _ = match_inlier_core(
+                feats[0], feats[1], xyz_sel[0], xyz_sel[1],
+                grids.coords[0], grids.coords[1], grids.num[0], grids.num[1],
+                inlier_params, inlier_state)
+
+            xyz0_corr = xyz_sel[0]
+            xyz1_corr = xyz_sel[1][idx1]
+            res = registration.global_registration(
+                xyz0_corr, xyz1_corr, weights,
+                break_threshold_ratio=1e-4, quantization_size=2 * voxel)
+            rr = ransac.ransac_correspondence(
+                key, xyz0_corr, xyz1_corr, grids.num[0], distance_threshold=2 * voxel,
+                num_hypotheses=min(self.ransac_hypotheses, 4096))
+            thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
+            use_refine = wsum >= thresh
+            R = jnp.where(use_refine, res.R, rr.R)
+            t = jnp.where(use_refine, res.t, rr.t)
+            T = se3.rt_to_matrix(R, t)
+            if self.use_icp:
+                T = icp_ops.registration_icp(
+                    xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
+                    max_correspondence_distance=2 * voxel, init=T).T
+            return T
+
         self._quantize = quantize
         self._features = features
         self._match_and_inlier = match_and_inlier
+        self._inlier_from_idx = inlier_from_idx
         self._match_inlier_core = match_inlier_core
         self._refine = refine
         self._safeguard = safeguard
         self._safeguard_feat = safeguard_feat
         self._icp_polish = icp_polish
-
-    # ------------------------------------------------------------------
-    # batched / multi-chip registration (eval fan-out; SURVEY.md section 2.3)
-    # ------------------------------------------------------------------
-    def _register_pair_device(self, key, xyz0_p, xyz1_p, n0_raw, n1_raw):
-        """One pair end-to-end on device, no host syncs (vmap/shard-ready).
-
-        Unlike register(), the safeguard gate cannot branch on host, so both
-        the refinement and (a reduced-budget) RANSAC run and the result is
-        selected by the weighted-sum gate — the price of batch fusion.
-        """
-        voxel = float(self.voxel_size)
-        xyz_pair = jnp.stack([xyz0_p, xyz1_p])
-        nums = jnp.stack([n0_raw, n1_raw])
-        xyz_sel, grids = jax.vmap(lambda x, n: sparse_grid.voxelize(x, n, voxel))(
-            xyz_pair, nums)
-        plan = jax.vmap(self.fcgf_spec.build_plan, in_axes=(0, None, None, None))(
-            grids, self.fcgf_cfg, self.level_shrink, self.dense_extent)
-        feats_in = jnp.ones(grids.coords.shape[:2] + (1,), jnp.float32)
-        feats, _ = self.fcgf_spec.apply(self.fcgf_params, self.fcgf_state,
-                                        self.fcgf_cfg, plan, feats_in, train=False)
-        idx1, weights, wsum = self._match_inlier_core(
-            feats[0], feats[1], xyz_sel[0], xyz_sel[1],
-            grids.coords[0], grids.coords[1], grids.num[0], grids.num[1])
-
-        xyz0_corr = xyz_sel[0]
-        xyz1_corr = xyz_sel[1][idx1]
-        res = registration.global_registration(
-            xyz0_corr, xyz1_corr, weights,
-            break_threshold_ratio=1e-4, quantization_size=2 * voxel)
-        rr = ransac.ransac_correspondence(
-            key, xyz0_corr, xyz1_corr, grids.num[0], distance_threshold=2 * voxel,
-            num_hypotheses=min(self.ransac_hypotheses, 4096))
-        thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
-        use_refine = wsum >= thresh
-        R = jnp.where(use_refine, res.R, rr.R)
-        t = jnp.where(use_refine, res.t, rr.t)
-        T = se3.rt_to_matrix(R, t)
-        if self.use_icp:
-            T = icp_ops.registration_icp(
-                xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
-                max_correspondence_distance=2 * voxel, init=T).T
-        return T
+        # Built ONCE: re-jitting per register_batch call would re-trace (and
+        # bake the params in) every invocation — minutes of compile latency on
+        # this platform per eval fan-out call.
+        self._register_batch_jit = jax.jit(jax.vmap(
+            register_pair_device,
+            in_axes=(None, None, None, None, 0, 0, 0, 0, 0)))
 
     def register_batch(self, xyz0_list, xyz1_list, mesh=None) -> np.ndarray:
         """Register many pairs in one fused jit, optionally sharded over a
@@ -334,18 +363,22 @@ class DeepGlobalRegistration:
         self._rng, key = jax.random.split(self._rng)
         keys = jax.random.split(key, pad_b)
 
-        fn = jax.jit(jax.vmap(self._register_pair_device))
+        fn = self._register_batch_jit
+        params = (self.fcgf_params, self.fcgf_state,
+                  self.inlier_params, self.inlier_state)
         args = (keys, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(n0),
                 jnp.asarray(n1))
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
             args = tuple(jax.device_put(a, sharding) for a in args)
             with mesh:
-                T = fn(*args)
+                T = fn(*params, *args)
         else:
-            T = fn(*args)
+            T = fn(*params, *args)
         return np.asarray(T)[:b]
 
     # ------------------------------------------------------------------
@@ -380,15 +413,36 @@ class DeepGlobalRegistration:
             grids = Grid(coords=grids.coords[:, :net_cap], num=grids.num)
 
         self.feat_timer.tic()
-        feats = self._features(self.fcgf_params, self.fcgf_state, grids, grids.num)
+        feats, overflow = self._features(self.fcgf_params, self.fcgf_state,
+                                         grids, grids.num)
         feats.block_until_ready()
         self.feat_timer.toc()
+        if bool(overflow):  # piggybacks on the block_until_ready sync above
+            log.warning(
+                "kernel-map table overflow: entries dropped (cloud exceeds the "
+                "--dense_extent box or a hash bucket overflowed its probe "
+                "window) — features are degraded for this pair")
 
-        idx1, weights, wsum_dev = self._match_and_inlier(
-            self.inlier_params, self.inlier_state, feats[0], feats[1],
-            xyz_sel[0], xyz_sel[1], grids.coords[0], grids.coords[1],
-            grids.num[0], grids.num[1])
+        if self.knn_search_method == "cpu":
+            # Host KD-tree matching (core/knn.py:77-103 'cpu' dispatch): pull
+            # the valid feature rows once, query on host, pad back.
+            n0, n1 = int(nvox[0]), int(nvox[1])
+            f_host = np.asarray(feats)
+            idx_host = knn.find_knn_cpu(f_host[0, :n0], f_host[1, :n1], knn=1)
+            idx1_in = np.zeros(feats.shape[1], np.int32)
+            idx1_in[:n0] = np.asarray(idx_host, np.int32).reshape(-1)
+            idx1, weights, wsum_dev, overflow6 = self._inlier_from_idx(
+                self.inlier_params, self.inlier_state, jnp.asarray(idx1_in),
+                feats[0], feats[1], xyz_sel[0], xyz_sel[1],
+                grids.coords[0], grids.coords[1], grids.num[0], grids.num[1])
+        else:
+            idx1, weights, wsum_dev, overflow6 = self._match_and_inlier(
+                self.inlier_params, self.inlier_state, feats[0], feats[1],
+                xyz_sel[0], xyz_sel[1], grids.coords[0], grids.coords[1],
+                grids.num[0], grids.num[1])
         wsum = float(wsum_dev)  # host sync: the safeguard gate scalar
+        if bool(overflow6):
+            log.warning("6D inlier kernel-map table overflow: entries dropped")
 
         num0 = int(nvox[0])
         wsum_threshold = max(200, num0 * 0.05)

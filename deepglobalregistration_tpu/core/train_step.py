@@ -216,7 +216,13 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
         return loss, (new_state, stats)
 
     def step(inlier_params, inlier_state, opt_state, fcgf_params, fcgf_state,
-             batch: PairBatch):
+             batch: PairBatch, lr=None):
+        """One update. `lr`, when given, is a TRACED scalar multiplying the
+        optimizer's unit-LR updates — this is how the per-epoch ExponentialLR
+        reaches the compiled step without retracing (a Python closure would be
+        baked in as a constant at trace time). Torch semantics are preserved:
+        SGD's momentum buffer is LR-free and Adam's moments are LR-free, so
+        late LR scaling is exact."""
         (loss, (new_state, stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             inlier_params, inlier_state, fcgf_params, fcgf_state, batch)
         # NaN/Inf-grad guard: skip the update entirely (trainer.py:286-293).
@@ -224,6 +230,8 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
                                     for g in jax.tree.leaves(grads)]))
         grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
         updates, new_opt = optimizer.update(grads, opt_state, inlier_params)
+        if lr is not None:
+            updates = jax.tree.map(lambda u: lr * u, updates)
         new_params = optax.apply_updates(inlier_params, updates)
         keep_old = jnp.logical_not(finite)
         new_params = jax.tree.map(lambda n_, o: jnp.where(keep_old, o, n_),

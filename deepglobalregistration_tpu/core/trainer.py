@@ -103,21 +103,37 @@ class WeightedProcrustesTrainer:
                 self.fcgf_params = jax.tree.map(jnp.asarray, state["fcgf_params"])
                 self.fcgf_state = jax.tree.map(jnp.asarray, state["fcgf_state"])
 
-        # Epoch-level ExponentialLR (trainer.py:110; config exp_gamma).
+        # Epoch-level ExponentialLR (trainer.py:110; config exp_gamma). The
+        # optimizer is built with UNIT learning rate; the actual per-epoch LR
+        # is passed into the jitted step as a traced scalar every call, so the
+        # decay applies without retracing (a Python closure would be baked in
+        # as an epoch-0 constant at trace time).
         self.epoch_lr = lambda epoch: config.lr * (config.exp_gamma ** epoch)
-        self._lr_scale = jnp.asarray(1.0)  # updated per epoch
-
-        def lr_schedule(step):
-            return self._current_lr
-
         self._current_lr = config.lr
-        self.optimizer = ts.make_optimizer(config.optimizer, lambda s: self._current_lr,
-                                           config)
+        self.optimizer = ts.make_optimizer(config.optimizer, 1.0, config)
         self.opt_state = self.optimizer.init(self.inlier_params)
         self.step_fn, self.loss_fn = ts.make_train_step(
             self.fcgf_spec, self.fcgf_cfg, self.inlier_spec, self.inlier_cfg,
             config, self.optimizer)
-        self._jit_step = jax.jit(self.step_fn)
+        # --num_devices > 1: data-parallel training over a 1-D 'data' mesh
+        # (SURVEY.md 2.3). The pair batch shards over devices; params are
+        # replicated and GSPMD inserts the gradient psum over ICI.
+        n_dev = int(getattr(config, "num_devices", 1) or 1)
+        self.mesh = None
+        if n_dev > 1:
+            from ..parallel import data_parallel as dp
+
+            if config.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"batch_size {config.batch_size} not divisible by "
+                    f"num_devices {n_dev}")
+            self.mesh = dp.make_mesh(n_dev)
+            self._shard_batch = lambda b: dp.shard_batch(self.mesh, b)
+            self._jit_step = dp.make_sharded_train_step(self.mesh, self.step_fn,
+                                                        with_lr=True)
+        else:
+            self._shard_batch = lambda b: b
+            self._jit_step = jax.jit(self.step_fn)
 
         self.start_epoch = 0
         self.best_val = -1e8
@@ -172,13 +188,14 @@ class WeightedProcrustesTrainer:
         for it in range(num_iter):
             if iter_size == 1:
                 data_timer.tic()
-                batch = next(data_iter)["pair_batch"]
+                batch = self._shard_batch(next(data_iter)["pair_batch"])
                 data_timer.toc()
                 step_timer.tic()
                 (self.inlier_params, self.inlier_state, self.opt_state,
                  stats) = self._jit_step(self.inlier_params, self.inlier_state,
                                          self.opt_state, self.fcgf_params,
-                                         self.fcgf_state, batch)
+                                         self.fcgf_state, batch,
+                                         jnp.float32(self._current_lr))
                 loss = float(stats["loss"])
                 step_timer.toc()
             else:
@@ -200,6 +217,8 @@ class WeightedProcrustesTrainer:
                 if finite:
                     updates, self.opt_state = self.optimizer.update(
                         acc, self.opt_state, self.inlier_params)
+                    lr = jnp.float32(self._current_lr)  # unit-LR optimizer
+                    updates = jax.tree.map(lambda u: lr * u, updates)
                     self.inlier_params = optax.apply_updates(self.inlier_params, updates)
                 else:
                     self.log.warning("NaN accumulated grads, skipping step")
@@ -238,8 +257,11 @@ class WeightedProcrustesTrainer:
             cls = _classification_stats(np.asarray(stats["logits"]),
                                         np.asarray(stats["labels"]),
                                         np.asarray(stats["valid"]))
-            # hit ratio: fraction of 1-NN correspondences that are GT-correct
-            # (trainer.py:353-489 validation)
+            # hit ratio == reference trainer.py:395 exactly:
+            # is_correct.sum() / len(is_correct), where is_correct is the GT
+            # label of every predicted 1-NN correspondence; our `valid` mask
+            # only removes padding rows, which the reference's concatenated
+            # (unpadded) batch doesn't have.
             labels, valid = np.asarray(stats["labels"]), np.asarray(stats["valid"])
             cls["hit_ratio"] = float((labels * valid).sum() / max(valid.sum(), 1))
             for k in agg:

@@ -31,7 +31,14 @@ def make_pair_batch(list_data, buckets: Sequence[int] = _DEFAULT_BUCKETS) -> Pai
     xyz0, xyz1, c0, c1, f0, f1, matches, trans, _ = zip(*list_data)
     b = len(list_data)
     n = bucket_for(max(max(len(a) for a in xyz0), max(len(a) for a in xyz1)), buckets)
-    p = bucket_for(max(max(len(m) for m in matches), 1), buckets)
+    # GT-match count may exceed the ladder (radius search on dense pairs emits
+    # up to ~1M pairs): clamp to the top bucket — the per-pair fill below
+    # already truncates via k = min(len(m), p) — instead of crashing training.
+    max_matches = max(max(len(m) for m in matches), 1)
+    p = bucket_for(min(max_matches, buckets[-1]), buckets)
+    if max_matches > buckets[-1]:
+        logging.getLogger(__name__).warning(
+            "truncating %d GT matches to bucket %d", max_matches, buckets[-1])
 
     def pad_pts(arrs):
         out = np.zeros((b, n, 3), np.float32)

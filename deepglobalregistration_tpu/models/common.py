@@ -23,9 +23,12 @@ from ..ops import sparse_conv as sc
 Params = Dict[str, Any]
 
 
-def init_conv(key: jax.Array, k: int, cin: int, cout: int, bias: bool = False) -> Params:
-    """Kaiming-style init over the fan-in (kernel_volume * Cin)."""
-    std = (2.0 / (k * cin)) ** 0.5
+def init_conv(key: jax.Array, k: int, cin: int, cout: int, bias: bool = False,
+              fan: str = "in") -> Params:
+    """Kaiming init. fan='in' (kernel_volume * Cin, ME's kaiming_normal_
+    default) or fan='out' (kernel_volume * Cout — the v2 family's explicit
+    weight_initialization, reference resunet.py:878-881)."""
+    std = (2.0 / (k * (cin if fan == "in" else cout))) ** 0.5
     p = {"kernel": jax.random.normal(key, (k, cin, cout), jnp.float32) * std}
     if bias:
         p["bias"] = jnp.zeros((cout,), jnp.float32)

@@ -16,14 +16,14 @@ from . import common
 
 
 def init_block(key: jax.Array, norm_type: str, planes_in: int, planes: int,
-               kernel_volume: int) -> Tuple[common.Params, common.Params]:
+               kernel_volume: int, fan: str = "in") -> Tuple[common.Params, common.Params]:
     k1, k2 = jax.random.split(key)
     n1p, n1s = common.init_norm(norm_type, planes)
     n2p, n2s = common.init_norm(norm_type, planes)
     params = {
-        "conv1": common.init_conv(k1, kernel_volume, planes_in, planes),
+        "conv1": common.init_conv(k1, kernel_volume, planes_in, planes, fan=fan),
         "norm1": n1p,
-        "conv2": common.init_conv(k2, kernel_volume, planes, planes),
+        "conv2": common.init_conv(k2, kernel_volume, planes, planes, fan=fan),
         "norm2": n2p,
     }
     state = {"norm1": n1s, "norm2": n2s}

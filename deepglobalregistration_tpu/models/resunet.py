@@ -157,6 +157,9 @@ def init(key: jax.Array, cfg: ResUNetConfig) -> Tuple[common.Params, common.Para
     kvol1 = kernel_map.kernel_offsets(cfg.conv1_kernel_size, cfg.D,
                                       cfg.region_type).shape[0]
     seq_blocks = cfg.family in ("v2", "sp3", "sp4")
+    # v2's explicit weight_initialization uses kaiming fan_out (reference
+    # resunet.py:878-881); v1/SP inherit ME's fan-in default.
+    fan = "out" if cfg.family == "v2" else "in"
     keys = iter(jax.random.split(key, 8 * L + 8))
     params: common.Params = {}
     state: common.Params = {}
@@ -171,33 +174,33 @@ def init(key: jax.Array, cfg: ResUNetConfig) -> Tuple[common.Params, common.Para
             lvl = int(name.replace("block", "").replace("_tr", ""))
             for d in range(_depth(cfg, lvl)):
                 bp[str(d)], bs[str(d)] = residual_block.init_block(
-                    next(keys), cfg.block_norm_type, c, c, kvol3)
+                    next(keys), cfg.block_norm_type, c, c, kvol3, fan=fan)
             params[name], state[name] = bp, bs
         else:
             params[name], state[name] = residual_block.init_block(
-                next(keys), cfg.block_norm_type, c, c, kvol3)
+                next(keys), cfg.block_norm_type, c, c, kvol3, fan=fan)
 
     # Encoder
-    params["conv1"] = common.init_conv(next(keys), kvol1, cfg.in_channels, C[1])
+    params["conv1"] = common.init_conv(next(keys), kvol1, cfg.in_channels, C[1], fan=fan)
     add_norm("norm1", C[1])
     add_block("block1", C[1])
     enc_kvol = 1 if cfg.family == "sp3" else kvol3  # sp3 convs are k1 (resunet.py:50-75)
     for i in range(2, L + 1):
-        params[f"conv{i}"] = common.init_conv(next(keys), enc_kvol, C[i - 1], C[i])
+        params[f"conv{i}"] = common.init_conv(next(keys), enc_kvol, C[i - 1], C[i], fan=fan)
         add_norm(f"norm{i}", C[i])
         add_block(f"block{i}", C[i])
     # Decoder
     dec_kvol = 1 if cfg.family == "sp3" else kvol3
-    params[f"conv{L}_tr"] = common.init_conv(next(keys), dec_kvol, C[L], TR[L])
+    params[f"conv{L}_tr"] = common.init_conv(next(keys), dec_kvol, C[L], TR[L], fan=fan)
     add_norm(f"norm{L}_tr", TR[L])
     add_block(f"block{L}_tr", TR[L])
     for i in range(L - 1, 1, -1):
         params[f"conv{i}_tr"] = common.init_conv(next(keys), dec_kvol,
-                                                 C[i] + TR[i + 1], TR[i])
+                                                 C[i] + TR[i + 1], TR[i], fan=fan)
         add_norm(f"norm{i}_tr", TR[i])
         add_block(f"block{i}_tr", TR[i])
-    params["conv1_tr"] = common.init_conv(next(keys), 1, C[1] + TR[2], TR[1])
-    params["final"] = common.init_conv(next(keys), 1, TR[1], cfg.out_channels, bias=True)
+    params["conv1_tr"] = common.init_conv(next(keys), 1, C[1] + TR[2], TR[1], fan=fan)
+    params["final"] = common.init_conv(next(keys), 1, TR[1], cfg.out_channels, bias=True, fan=fan)
     return params, state
 
 

@@ -27,6 +27,11 @@ class UNetPlan(NamedTuple):
     up_kmaps: Tuple[jnp.ndarray, ...]  # level i+1 -> i transposed (L-1 maps)
     pool_down: Tuple[jnp.ndarray, ...] = ()  # k2/s2 sum-pool maps (SP variants)
     pool_up: Tuple[jnp.ndarray, ...] = ()  # k2/s2 pooling-transpose maps
+    # OR of every lookup table's overflow flag: True means some kernel-map
+    # entries were silently dropped (hash bucket exceeded the probe window, or
+    # --dense_extent box too small for the cloud). Surfaced by the pipeline at
+    # its existing host syncs; see DeepGlobalRegistration.register().
+    overflow: jnp.ndarray = False
 
 
 def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
@@ -85,9 +90,13 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
                           for i in range(n_levels - 1))
         pool_up = tuple(kmap(i + 1, grids[i], offs2, unit=2 ** i, transpose=True)
                         for i in range(n_levels - 1))
+    overflow = tables[0].overflow
+    for t in tables[1:]:
+        overflow = jnp.logical_or(overflow, t.overflow)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
-                    up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up)
+                    up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up,
+                    overflow=overflow)
 
 
 def identity_kmap(grid: Grid) -> jnp.ndarray:
@@ -138,6 +147,9 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
                                     transpose=True)
         for i in range(n_levels - 1))
+    overflow = tables[0].overflow
+    for t in tables[1:]:
+        overflow = jnp.logical_or(overflow, t.overflow)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
-                    up_kmaps=up_kmaps)
+                    up_kmaps=up_kmaps, overflow=overflow)

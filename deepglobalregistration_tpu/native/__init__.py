@@ -34,11 +34,21 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """Rebuild whenever the C++ source is newer than the library: the binary
+    is never committed (gitignored — it's -march=native and unauditable), so a
+    stale build must not silently shadow edited source."""
+    try:
+        return _LIB.stat().st_mtime < _SRC.stat().st_mtime
+    except OSError:
+        return False
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB.exists() and _SRC.exists():
+    if _SRC.exists() and (not _LIB.exists() or _stale()):
         _build()
     if _LIB.exists():
         lib = ctypes.CDLL(str(_LIB))

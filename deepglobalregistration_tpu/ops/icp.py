@@ -44,27 +44,29 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         cnt = jnp.sum(inl.astype(jnp.float32))
         fitness = cnt / jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)
         rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(cnt, 1.0))
-        return idx, inl, fitness, rmse
+        return idx, d2, fitness, rmse
 
-    idx0, inl0, fit0, rmse0 = evaluate(T0)
+    idx0, d20, fit0, rmse0 = evaluate(T0)
 
     def cond(carry):
-        T, fit, rmse, prev_fit, prev_rmse, i, done = carry
+        T, idx, d2, fit, rmse, i, done = carry
         return (i < max_iteration) & jnp.logical_not(done)
 
     def body(carry):
-        T, fit, rmse, prev_fit, prev_rmse, i, _ = carry
+        # ONE spatial scan per iteration: the correspondences found when
+        # evaluating T_new double as the next iteration's update input
+        # (they are exactly what a fresh scan at T would recompute).
+        T, idx, d2, fit, rmse, i, _ = carry
         moved = se3.apply_transform(source, T)
-        idx, d2 = knn.find_nn(moved, target, num_src, num_tgt)
         w = ((d2 < thresh2) & src_valid).astype(jnp.float32)
         # o3d estimates the *update* on already-moved points, composed into T.
         R, t = procrustes.weighted_procrustes(moved, target[idx], w)
         T_new = se3.rt_to_matrix(R, t) @ T
-        _, _, fit_new, rmse_new = evaluate(T_new)
+        idx_new, d2_new, fit_new, rmse_new = evaluate(T_new)
         done = (jnp.abs(fit_new - fit) < relative_fitness) & \
                (jnp.abs(rmse_new - rmse) < relative_rmse)
-        return (T_new, fit_new, rmse_new, fit, rmse, i + 1, done)
+        return (T_new, idx_new, d2_new, fit_new, rmse_new, i + 1, done)
 
-    init_carry = (T0, fit0, rmse0, fit0, rmse0, jnp.int32(0), jnp.bool_(False))
-    T, fit, rmse, _, _, i, _ = jax.lax.while_loop(cond, body, init_carry)
+    init_carry = (T0, idx0, d20, fit0, rmse0, jnp.int32(0), jnp.bool_(False))
+    T, _, _, fit, rmse, i, _ = jax.lax.while_loop(cond, body, init_carry)
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, iterations=i)

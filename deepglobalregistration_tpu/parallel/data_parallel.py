@@ -36,17 +36,19 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def make_sharded_train_step(mesh: Mesh, step_fn):
-    """Wrap a train step in jit with data-sharded batch / replicated params."""
+def make_sharded_train_step(mesh: Mesh, step_fn, with_lr: bool = False):
+    """Wrap a train step in jit with data-sharded batch / replicated params.
+
+    with_lr: the trainer passes the per-epoch learning rate as a 7th traced
+    scalar argument (replicated); library/tests call the 6-arg form."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    return jax.jit(
-        step_fn,
-        in_shardings=(repl, repl, repl, repl, repl,
-                      jax.tree.map(lambda _: data, _BATCH_PROTO)),
-        out_shardings=None,
-    )
+    shardings = (repl, repl, repl, repl, repl,
+                 jax.tree.map(lambda _: data, _BATCH_PROTO))
+    if with_lr:
+        shardings = shardings + (repl,)
+    return jax.jit(step_fn, in_shardings=shardings, out_shardings=None)
 
 
 # PairBatch prototype used only for tree-structure of shardings (values unused).

@@ -90,6 +90,17 @@ def test_register_batch_matches_register(rng, dgr):
         np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-2)
 
 
+def test_register_batch_no_retrace(rng, dgr):
+    """Second same-shape call must hit the jit cache (regression: the vmapped
+    registration used to be re-jitted — and params re-baked — per call)."""
+    xyz = _cloud(rng, 380)
+    t = np.array([8, 8, -8], np.float32) * dgr.voxel_size
+    dgr.register_batch([xyz], [xyz + t])
+    n_traces = dgr._register_batch_jit._cache_size()
+    dgr.register_batch([xyz], [xyz + t])
+    assert dgr._register_batch_jit._cache_size() == n_traces
+
+
 def test_register_batch_sharded(rng, dgr):
     from deepglobalregistration_tpu.parallel.data_parallel import make_mesh
 
@@ -101,3 +112,23 @@ def test_register_batch_sharded(rng, dgr):
     assert Ts.shape == (3, 4, 4)
     for T in Ts:
         np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
+
+
+def test_knn_search_method_cpu_matches_gpu(rng):
+    """'cpu' (host cKDTree) and 'gpu' (device tiled scan) matching must agree
+    end-to-end (reference find_knn_batch dispatch, core/knn.py:77-103)."""
+    from deepglobalregistration_tpu.config import default_config as dc
+
+    kw = dict(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1)
+    dgr_gpu = DeepGlobalRegistration(dc(knn_search_method="gpu", **kw))
+    dgr_cpu = DeepGlobalRegistration(dc(knn_search_method="cpu", **kw))
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 8], np.float32) * 0.05
+    T_gpu = dgr_gpu.register(xyz, xyz + t)
+    T_cpu = dgr_cpu.register(xyz, xyz + t)
+    np.testing.assert_allclose(T_cpu, T_gpu, atol=1e-4)
+    np.testing.assert_allclose(T_cpu[:3, 3], t, atol=0.02)

@@ -120,3 +120,25 @@ def test_find_correct_correspondence_matches_reference_hash(rng):
     ref = correspondence.find_correct_correspondence_np(pos, pred)
     np.testing.assert_array_equal(got[:250], ref)
     assert not got[250:].any()
+
+
+def test_find_correct_correspondence_large_indices(rng):
+    """Point indices above the 16-bit hash-field range (>= 32767) must stay
+    distinct — regression for the clamp-collision bug where all large indices
+    packed to one value and labels were silently corrupted."""
+    n = 120000
+    pos = rng.randint(0, n, size=(400, 2)).astype(np.int32)
+    pred = np.concatenate([pos[rng.choice(400, 80)],
+                           rng.randint(0, n, size=(220, 2)).astype(np.int32)], 0)
+    rng.shuffle(pred)
+    # adversarial near-collisions around the old clamp boundary
+    pos[:4] = [[32766, 5], [32767, 5], [60000, 70000], [70000, 60000]]
+    pred[:6] = [[32766, 5], [32767, 5], [32768, 5], [60000, 70000],
+                [60001, 70000], [70000, 60000]]
+    cap_p, cap_q = 512, 384
+    posp = np.zeros((cap_p, 2), np.int32); posp[:400] = pos
+    predp = np.zeros((cap_q, 2), np.int32); predp[:300] = pred
+    got = np.asarray(correspondence.find_correct_correspondence(
+        jnp.asarray(posp), jnp.int32(400), jnp.asarray(predp), jnp.int32(300)))
+    ref = correspondence.find_correct_correspondence_np(pos, pred)
+    np.testing.assert_array_equal(got[:300], ref)

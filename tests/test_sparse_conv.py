@@ -181,3 +181,37 @@ def test_batch_norm_train_matches_torch_semantics(rng):
     np.testing.assert_allclose(got_flat, ref, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(nm), bn.running_mean.numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nv), bn.running_var.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_offsets_match_me_odometer_order():
+    """Freeze the HYPER_CUBE K-axis order against an independent simulation of
+    MinkowskiEngine's region iterator (public kernel_region.hpp ++ operator:
+    start at the most-negative corner, increment dimension 0 first, carry into
+    higher dimensions). The torch checkpoint converter relies on this order;
+    tools/golden_fcgf.py can auto-try alternatives against real weights."""
+    from deepglobalregistration_tpu.ops import kernel_map as km
+
+    def me_odometer(kernel_size, ndim):
+        r = kernel_size // 2
+        lower = [-r] * ndim
+        upper = [r] * ndim
+        cur = list(lower)
+        out = [list(cur)]
+        while True:
+            d = 0
+            while d < ndim:
+                cur[d] += 1
+                if cur[d] <= upper[d]:
+                    break
+                cur[d] = lower[d]
+                d += 1
+            if d == ndim:
+                break
+            out.append(list(cur))
+        return np.array(out, np.int32)
+
+    for k, d in [(3, 3), (7, 3), (3, 6), (5, 2)]:
+        got = km.kernel_offsets(k, d, km.HYPER_CUBE)
+        expect = me_odometer(k, d)
+        assert got.shape == expect.shape == (k ** d, d)
+        np.testing.assert_array_equal(got, expect)

@@ -66,6 +66,31 @@ def test_train_step_reduces_loss(rng):
     assert bool(stats["grad_finite"])
 
 
+def test_traced_lr_scales_update(rng):
+    """The per-epoch LR must reach the compiled step as a traced scalar: the
+    SAME jitted step called with two different lr values must produce updates
+    that scale exactly (regression for the trace-time LR-closure bug, where
+    ExponentialLR silently never applied)."""
+    config = default_config(feat_model="ResUNetBN2F", feat_model_n_out=8,
+                            inlier_model="ResUNetBN2FX")
+    fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, fp, fs, ip, is_ = _setup(config)
+    optimizer = ts.make_optimizer("SGD", 1.0, config)  # unit LR, scaled in step
+    opt_state = optimizer.init(ip)
+    step_fn, _ = ts.make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg,
+                                    config, optimizer)
+    step = jax.jit(step_fn)
+    batch = dp.synthetic_pair_batch(rng, b=2, n=192, p=64)
+    # lr=0 first: if the first-trace lr were baked in as a constant, the
+    # lr=0.1 call below would also be a no-op.
+    p_a, _, _, _ = step(ip, is_, opt_state, fp, fs, batch, jnp.float32(0.0))
+    for ua, u0 in zip(jax.tree.leaves(p_a), jax.tree.leaves(ip)):
+        np.testing.assert_array_equal(np.asarray(ua), np.asarray(u0))
+    p_b, _, _, _ = step(ip, is_, opt_state, fp, fs, batch, jnp.float32(0.1))
+    moved = any(not np.array_equal(np.asarray(ub), np.asarray(u0))
+                for ub, u0 in zip(jax.tree.leaves(p_b), jax.tree.leaves(ip)))
+    assert moved
+
+
 def test_sharded_step_matches_single_device(rng):
     # 8 virtual CPU devices (conftest): the sharded step must match the
     # unsharded one bit-for-tolerance since GSPMD only changes placement.
