@@ -18,6 +18,7 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import edge_conv as ec
 from ..ops import sparse_conv as sc
 
 Params = Dict[str, Any]
@@ -82,7 +83,15 @@ def apply_nonlinearity(kind: str, feats: jnp.ndarray) -> jnp.ndarray:
     raise ValueError(f"nonlinearity {kind} not defined")
 
 
-def apply_conv_batched(params: Params, feats: jnp.ndarray, kmap: jnp.ndarray) -> jnp.ndarray:
-    """Batched sparse conv: feats [B, N, Cin], kmap [B, K, M] -> [B, M, Cout]."""
+def apply_conv_batched(params: Params, feats: jnp.ndarray, kmap) -> jnp.ndarray:
+    """Batched sparse conv: feats [B, N, Cin], kmap [B, K, M] -> [B, M, Cout].
+
+    kmap may instead be a batched (EdgeMap, out_rows) pair from the
+    edge-compacted 6D path (models/unet_plan.py) — FLOPs then scale with the
+    actual edge count instead of K * M."""
     bias = params.get("bias")
+    if isinstance(kmap, ec.SizedEdgeMap):
+        return jax.vmap(lambda f, e: ec.sparse_conv_edges(
+            f, params["kernel"], e, bias=bias, out_rows=kmap.out_rows))(
+            feats, kmap.em)
     return jax.vmap(lambda f, km: sc.sparse_conv(f, params["kernel"], km, bias=bias))(feats, kmap)

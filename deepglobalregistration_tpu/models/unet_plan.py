@@ -93,10 +93,52 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
     overflow = tables[0].overflow
     for t in tables[1:]:
         overflow = jnp.logical_or(overflow, t.overflow)
+    if ndim == 6 and EDGE_CONV_6D:
+        conv1_kmap, self_kmaps, down_kmaps, up_kmaps, eo = _edgify_6d(
+            grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
+            d_cap0=max(_D_CAP_6D, min(conv1_kernel_size ** 3, 2 * _D_CAP_6D)))
+        overflow = jnp.logical_or(overflow, eo)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up,
                     overflow=overflow)
+
+
+# Edge-compacted convolution for 6D maps (ops/edge_conv). Module-level switch
+# so equivalence tests can build the dense variant.
+EDGE_CONV_6D = True
+
+# Per-row edge capacity for 6D edge-compacted convs. Level-0 correspondence
+# grids have unique c0 per row, so the true bound is 27 (one candidate per 3D
+# c0-offset); deeper/strided levels use this cap with the overflow flag.
+_D_CAP_6D = 64
+_EDGE_TILE = 128
+
+
+def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
+               d_cap0: int, d_cap_self0: int = _D_CAP_6D):
+    """Convert 6D dense kernel maps into edge-compacted form (ops/edge_conv):
+    FLOPs then track actual correspondence-graph edges instead of 729 * M."""
+    from ..ops import edge_conv as ec
+
+    overflow = jnp.asarray(False)
+
+    def conv(km, out_grid, d_cap):
+        nonlocal overflow
+        em = ec.build_edge_map(km, d_cap=d_cap, tile=_EDGE_TILE)
+        overflow = jnp.logical_or(overflow, em.overflow)
+        return ec.SizedEdgeMap(em, out_grid.capacity)
+
+    conv1 = conv(conv1_kmap, grids[0], d_cap0)
+    self0 = conv1 if self_kmaps[0] is conv1_kmap and d_cap_self0 >= d_cap0 \
+        else conv(self_kmaps[0], grids[0], d_cap_self0)
+    selfs = (self0,) + tuple(conv(self_kmaps[i], grids[i], _D_CAP_6D)
+                             for i in range(1, len(self_kmaps)))
+    downs = tuple(conv(down_kmaps[i], grids[i + 1], _D_CAP_6D)
+                  for i in range(len(down_kmaps)))
+    ups = tuple(conv(up_kmaps[i], grids[i], _D_CAP_6D)
+                for i in range(len(up_kmaps)))
+    return conv1, selfs, downs, ups, overflow
 
 
 def identity_kmap(grid: Grid) -> jnp.ndarray:
@@ -150,6 +192,13 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
     overflow = tables[0].overflow
     for t in tables[1:]:
         overflow = jnp.logical_or(overflow, t.overflow)
+    # Edge compaction: unique c0 per row makes level-0 caps EXACT (one
+    # candidate per 3D c0-offset: 27 for k3, k^3 for conv1).
+    if EDGE_CONV_6D:
+        conv1_kmap, self_kmaps, down_kmaps, up_kmaps, eo = _edgify_6d(
+            grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
+            d_cap0=conv1_kernel_size ** 3, d_cap_self0=27)
+        overflow = jnp.logical_or(overflow, eo)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, overflow=overflow)

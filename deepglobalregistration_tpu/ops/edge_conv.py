@@ -1,0 +1,183 @@
+"""Edge-compacted sparse convolution — FLOPs proportional to ACTUAL edges.
+
+The dense kernel-map formulation (ops/sparse_conv.py) computes K gather-GEMMs
+of [M, Cin] x [Cin, Cout] regardless of how many kernel-map entries are valid:
+for the 6D inlier net (K = 3^6 = 729) on correspondence grids, rows have at
+most ~27 in-edges (c0 is unique per row, so each 3D c0-offset pins a single
+candidate), meaning >96% of the dense compute multiplies zeros. MinkowskiEngine
+only ever computes the actual in/out pairs (its kernel maps are variable-length
+vectors per offset); this module is the static-shape TPU equivalent:
+
+1. compact: per output row, gather its valid (offset k, input row i) pairs
+   into ``d_cap`` slots (stable argsort over the kmap column validity);
+2. bin: globally sort the E = M * d_cap edge slots by k, pad each offset's
+   bin to a multiple of the tile size T so every tile touches ONE offset;
+3. compute: scan over chunks of tiles — gather [T, Cin] activations, batched
+   einsum against the per-tile kernel slice [Cin, Cout], scatter-add into the
+   output — skipping chunks whose tiles are all padding (lax.cond executes
+   one branch on TPU, so empty chunks cost a scalar test).
+
+FLOPs drop from K*M*Cin*Cout to ~E_valid*Cin*Cout (plus <= K*T tile padding),
+a 25-150x reduction for the 6D net. Exact edge coverage: verified against
+sparse_conv to f32 accumulation-order tolerance in tests/test_edge_conv.py.
+
+Overflow: rows with more than d_cap valid offsets lose edges; the build
+records an ``overflow`` flag (same contract as the hash/dense tables — callers
+surface it; see models/unet_plan.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class EdgeMap(NamedTuple):
+    """Tile-blocked edge list for one convolution site.
+
+    tile_in:  [NT, T] int32 input row per edge (-1 = padding)
+    tile_out: [NT, T] int32 output row per edge (-1 = padding)
+    tile_k:   [NT] int32 kernel offset of every edge in the tile (-1 = padding
+              tile; tiles never mix offsets)
+    overflow: bool — some row had more than d_cap valid offsets (edges lost)
+    """
+
+    tile_in: jnp.ndarray
+    tile_out: jnp.ndarray
+    tile_k: jnp.ndarray
+    overflow: jnp.ndarray
+
+    @property
+    def tile(self) -> int:
+        return self.tile_in.shape[1]
+
+
+def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
+    """Convert a dense kernel map idx[K, M] into a tile-blocked edge list.
+
+    d_cap: static per-row edge capacity (27 is exact for paired 6D level-0
+    maps; deeper levels use a configured cap with the overflow flag).
+    """
+    k_total, m = kmap.shape
+    d_cap = min(d_cap, k_total)
+
+    # --- 1. per-row compaction: valid offsets to the front (stable) ---------
+    kt = kmap.T  # [M, K]
+    valid = kt >= 0
+    order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)  # [M, K]
+    slots = order[:, :d_cap]  # [M, d_cap] offset ids, valid-first
+    slot_in = jnp.take_along_axis(kt, slots, axis=1)  # [M, d_cap]
+    slot_valid = slot_in >= 0
+    degree = jnp.sum(valid, axis=1)
+    overflow = jnp.any(degree > d_cap)
+
+    # --- 2. flatten to edges and sort by offset -----------------------------
+    e = m * d_cap
+    # invalid edges get k = k_total (dummy trailing bin)
+    edge_k = jnp.where(slot_valid, slots, k_total).reshape(e)
+    edge_in = slot_in.reshape(e)
+    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
+                                (m, d_cap)).reshape(e)
+    sort_idx = jnp.argsort(edge_k)  # stable not required within a bin
+    edge_k = edge_k[sort_idx]
+    edge_in = edge_in[sort_idx]
+    edge_out = edge_out[sort_idx]
+
+    # --- 3. pad each bin to a tile multiple via positional scatter ----------
+    counts = jnp.zeros(k_total + 1, jnp.int32).at[edge_k].add(1)
+    padded = -(-counts // tile) * tile  # ceil to tile multiple
+    starts_pad = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(padded)[:-1]])
+    starts_raw = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(e, dtype=jnp.int32) - starts_raw[edge_k]
+    pos = starts_pad[edge_k] + rank
+
+    # static upper bound on padded length, rounded to a whole tile count
+    e_pad = -(-(e + (k_total + 1) * tile) // tile) * tile
+    n_tiles = e_pad // tile
+    tile_in = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_in)
+    tile_out = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_out)
+    # a tile's offset: scatter k at its tile slot (uniform within the tile);
+    # dummy-bin (k_total) and untouched tiles stay -1
+    real = edge_k < k_total
+    tile_k = jnp.full(n_tiles, -1, jnp.int32).at[
+        jnp.where(real, pos // tile, n_tiles - 1)].max(
+        jnp.where(real, edge_k, -1))
+
+    return EdgeMap(tile_in=tile_in.reshape(n_tiles, tile),
+                   tile_out=tile_out.reshape(n_tiles, tile),
+                   tile_k=tile_k, overflow=overflow)
+
+
+@jax.tree_util.register_pytree_node_class
+class SizedEdgeMap:
+    """EdgeMap plus its STATIC output row count, packaged as a pytree whose
+    aux data carries out_rows — so plans holding edge maps survive
+    jax.tree.map / vmap batching (out_rows must stay a Python int: it sizes
+    the conv output buffer)."""
+
+    def __init__(self, em: EdgeMap, out_rows: int):
+        self.em = em
+        self.out_rows = out_rows
+
+    def tree_flatten(self):
+        return (self.em,), self.out_rows
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+
+# Tiles per scan chunk: each chunk is one batched gather + einsum + scatter.
+_TILE_CHUNK = 16
+
+
+def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
+                      bias: jnp.ndarray | None = None,
+                      out_rows: int | None = None) -> jnp.ndarray:
+    """Edge-compacted convolution. feats [N, Cin], kernel [K, Cin, Cout].
+
+    out_rows: number of output rows M (defaults to N — correct for stride-1
+    self maps; strided/transposed maps must pass their own M).
+    """
+    k_total, cin, cout = kernel.shape
+    m = feats.shape[0] if out_rows is None else out_rows
+    n_tiles, t = em.tile_in.shape
+    compute_dtype = feats.dtype
+    kernel = kernel.astype(compute_dtype)
+
+    n_chunks = -(-n_tiles // _TILE_CHUNK)
+    pad_t = n_chunks * _TILE_CHUNK - n_tiles
+    tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)), constant_values=-1)
+    tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
+    tk = jnp.pad(em.tile_k, (0, pad_t), constant_values=-1)
+    tin = tin.reshape(n_chunks, _TILE_CHUNK, t)
+    tout = tout.reshape(n_chunks, _TILE_CHUNK, t)
+    tk = tk.reshape(n_chunks, _TILE_CHUNK)
+
+    def body(acc, chunk):
+        c_in, c_out, c_k = chunk
+
+        def compute(acc):
+            w = kernel[jnp.maximum(c_k, 0)]  # [CT, Cin, Cout]
+            x = jnp.where((c_in >= 0)[..., None],
+                          feats[jnp.maximum(c_in, 0)], 0)  # [CT, T, Cin]
+            y = jnp.einsum("ktc,kcd->ktd", x, w,
+                           preferred_element_type=jnp.float32)
+            y = jnp.where((c_k >= 0)[:, None, None], y, 0.0)
+            idx = jnp.where(c_out >= 0, c_out, m)  # route padding off the end
+            return acc.at[idx.reshape(-1)].add(
+                y.reshape(-1, cout), mode="drop")
+
+        # skip chunks that are entirely bin padding / trailing dummy tiles
+        return jax.lax.cond(jnp.any(c_k >= 0), compute, lambda a: a, acc), None
+
+    acc0 = jnp.zeros((m, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (tin, tout, tk))
+    if bias is not None:
+        out = out + bias
+    return out.astype(compute_dtype)

@@ -23,3 +23,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (full suite ~25-30 min)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight train/e2e tests (>30 s); off by default,"
+        " enable with --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow (use --runslow for the full suite)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -50,6 +50,7 @@ def _me_style_state_dict(params, state):
     return sd
 
 
+@pytest.mark.slow
 def test_roundtrip_resunet_checkpoint(tmp_path):
     spec = load_model("ResUNetBN2F")
     cfg = spec.make_config(1, 8, conv1_kernel_size=5, normalize_feature=True)

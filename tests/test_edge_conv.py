@@ -1,0 +1,134 @@
+"""Edge-compacted convolution: exact equivalence with the dense gather-GEMM."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepglobalregistration_tpu.ops import edge_conv, sparse_conv
+
+
+def _random_kmap(rng, k, m, n, density):
+    """Dense kernel map with the given entry density; -1 = empty."""
+    kmap = np.full((k, m), -1, np.int32)
+    mask = rng.rand(k, m) < density
+    kmap[mask] = rng.randint(0, n, size=int(mask.sum()))
+    return kmap
+
+
+@pytest.mark.parametrize("k,density,d_cap,tile", [
+    (27, 0.3, 27, 32),     # 3D-like self map
+    (729, 0.02, 32, 64),   # 6D-like sparse map
+    (729, 0.0, 8, 32),     # fully empty
+])
+def test_edge_conv_matches_dense(rng, k, density, d_cap, tile):
+    n = m = 256
+    cin, cout = 8, 16
+    kmap = _random_kmap(rng, k, m, n, density)
+    # keep per-row degree within d_cap so the comparison is exact
+    for j in range(m):
+        valid = np.where(kmap[:, j] >= 0)[0]
+        if len(valid) > d_cap:
+            kmap[valid[d_cap:], j] = -1
+    feats = rng.randn(n, cin).astype(np.float32)
+    kernel = rng.randn(k, cin, cout).astype(np.float32)
+
+    dense = np.asarray(sparse_conv.sparse_conv(
+        jnp.asarray(feats), jnp.asarray(kernel), jnp.asarray(kmap)))
+    em = edge_conv.build_edge_map(jnp.asarray(kmap), d_cap=d_cap, tile=tile)
+    assert not bool(em.overflow)
+    got = np.asarray(edge_conv.sparse_conv_edges(
+        jnp.asarray(feats), jnp.asarray(kernel), em, out_rows=m))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_conv_different_out_rows(rng):
+    # strided map: M != N
+    n, m, k, cin, cout = 300, 100, 27, 4, 8
+    kmap = _random_kmap(rng, k, m, n, 0.4)
+    feats = rng.randn(n, cin).astype(np.float32)
+    kernel = rng.randn(k, cin, cout).astype(np.float32)
+    dense = np.asarray(sparse_conv.sparse_conv(
+        jnp.asarray(feats), jnp.asarray(kernel), jnp.asarray(kmap)))
+    em = edge_conv.build_edge_map(jnp.asarray(kmap), d_cap=27, tile=16)
+    got = np.asarray(edge_conv.sparse_conv_edges(
+        jnp.asarray(feats), jnp.asarray(kernel), em, out_rows=m))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_conv_overflow_flag(rng):
+    kmap = _random_kmap(rng, 27, 64, 64, 0.9)
+    em = edge_conv.build_edge_map(jnp.asarray(kmap), d_cap=4, tile=16)
+    assert bool(em.overflow)
+
+
+def test_edge_conv_bias_and_jit(rng):
+    n = m = 128
+    kmap = _random_kmap(rng, 27, m, n, 0.3)
+    feats = rng.randn(n, 4).astype(np.float32)
+    kernel = rng.randn(27, 4, 8).astype(np.float32)
+    bias = rng.randn(8).astype(np.float32)
+
+    @jax.jit
+    def run(f, w, b, km):
+        em = edge_conv.build_edge_map(km, d_cap=27, tile=32)
+        return edge_conv.sparse_conv_edges(f, w, em, bias=b, out_rows=m)
+
+    got = np.asarray(run(jnp.asarray(feats), jnp.asarray(kernel),
+                         jnp.asarray(bias), jnp.asarray(kmap)))
+    dense = np.asarray(sparse_conv.sparse_conv(
+        jnp.asarray(feats), jnp.asarray(kernel), jnp.asarray(kmap),
+        bias=jnp.asarray(bias)))
+    np.testing.assert_allclose(got, dense, rtol=1e-5, atol=1e-5)
+
+
+def test_edge_conv_vmapped(rng):
+    b, n, k = 3, 128, 27
+    kmaps = np.stack([_random_kmap(rng, k, n, n, 0.25) for _ in range(b)])
+    feats = rng.randn(b, n, 4).astype(np.float32)
+    kernel = rng.randn(k, 4, 8).astype(np.float32)
+
+    def one(f, km):
+        em = edge_conv.build_edge_map(km, d_cap=16, tile=32)
+        return edge_conv.sparse_conv_edges(f, jnp.asarray(kernel), em)
+
+    got = np.asarray(jax.vmap(one)(jnp.asarray(feats), jnp.asarray(kmaps)))
+    for i in range(b):
+        dense = np.asarray(sparse_conv.sparse_conv(
+            jnp.asarray(feats[i]), jnp.asarray(kernel), jnp.asarray(kmaps[i])))
+        np.testing.assert_allclose(got[i], dense, rtol=1e-5, atol=1e-5)
+
+
+def test_inlier_net_edge_plan_matches_dense(rng):
+    """Full 6D inlier net: the edge-compacted plan must reproduce the dense
+    gather-GEMM plan's logits (f32 accumulation tolerance)."""
+    from deepglobalregistration_tpu.models import load_model, unet_plan
+    from deepglobalregistration_tpu.ops.sparse_grid import Grid
+
+    spec = load_model("ResUNetBN2FX")
+    cfg = spec.make_config(1, 1, conv1_kernel_size=3, normalize_feature=False,
+                           D=6)
+    params, state = spec.init(jax.random.PRNGKey(1), cfg)
+
+    n, cap = 180, 256
+    c0 = rng.randint(-10, 10, size=(cap, 3)).astype(np.int32)
+    c0[:n] = np.unique(rng.randint(-12, 12, size=(n * 2, 3)), axis=0)[:n]
+    c1 = rng.randint(-10, 10, size=(cap, 3)).astype(np.int32)
+    coords6 = np.concatenate([c0, c1], axis=1)
+    grid = Grid(coords=jnp.asarray(coords6), num=jnp.int32(n))
+    feats = rng.randn(1, cap, 1).astype(np.float32)
+
+    def run():
+        plan = jax.vmap(spec.build_plan, in_axes=(0, None))(
+            jax.tree.map(lambda x: x[None], grid), cfg)
+        out, _ = spec.apply(params, state, cfg, plan, jnp.asarray(feats),
+                            train=False)
+        return np.asarray(out)
+
+    unet_plan.EDGE_CONV_6D = False
+    try:
+        dense = run()
+    finally:
+        unet_plan.EDGE_CONV_6D = True
+    edge = run()
+    np.testing.assert_allclose(edge, dense, rtol=1e-4, atol=1e-4)

@@ -1,12 +1,14 @@
 """tools/golden_fcgf.py — K-order candidate machinery smoke tests."""
 
 import numpy as np
+import pytest
 import jax
 
 from deepglobalregistration_tpu.models import load_model
 from tools.golden_fcgf import k_order_candidates, permute_kernels, run_fcgf
 
 
+@pytest.mark.slow
 def test_permute_roundtrip_and_discrimination(rng):
     spec = load_model("ResUNetBN2F")
     cfg = spec.make_config(1, 8, conv1_kernel_size=3, normalize_feature=True, D=3)

@@ -101,6 +101,7 @@ def test_register_batch_no_retrace(rng, dgr):
     assert dgr._register_batch_jit._cache_size() == n_traces
 
 
+@pytest.mark.slow
 def test_register_batch_sharded(rng, dgr):
     from deepglobalregistration_tpu.parallel.data_parallel import make_mesh
 
@@ -114,6 +115,7 @@ def test_register_batch_sharded(rng, dgr):
         np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
 
 
+@pytest.mark.slow
 def test_knn_search_method_cpu_matches_gpu(rng):
     """'cpu' (host cKDTree) and 'gpu' (device tiled scan) matching must agree
     end-to-end (reference find_knn_batch dispatch, core/knn.py:77-103)."""

@@ -1,6 +1,7 @@
 """WeightedProcrustesTrainer end-to-end smoke test over a synthetic loader."""
 
 import numpy as np
+import pytest
 
 from deepglobalregistration_tpu.config import default_config
 from deepglobalregistration_tpu.core.trainer import WeightedProcrustesTrainer
@@ -21,6 +22,7 @@ class _SyntheticLoader:
         return len(self.batches)
 
 
+@pytest.mark.slow
 def test_trainer_trains_and_checkpoints(tmp_path, rng):
     config = default_config(
         feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
@@ -53,6 +55,7 @@ def test_trainer_trains_and_checkpoints(tmp_path, rng):
                  trainer.inlier_params, trainer2.inlier_params)
 
 
+@pytest.mark.slow
 def test_trainer_grad_accumulation(tmp_path, rng):
     config = default_config(
         feat_model="ResUNetBN2F", feat_model_n_out=8, inlier_model="ResUNetBN2FX",
@@ -67,6 +70,7 @@ def test_trainer_grad_accumulation(tmp_path, rng):
     assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
 
 
+@pytest.mark.slow
 def test_trainer_num_devices_shards_batch(tmp_path, rng):
     """--num_devices wires the 'data'-mesh sharded step into the trainer
     (VERDICT: the flag used to be parsed but never read)."""
@@ -85,6 +89,7 @@ def test_trainer_num_devices_shards_batch(tmp_path, rng):
     assert any(not np.allclose(a, b) for a, b in zip(p0, p1))
 
 
+@pytest.mark.slow
 def test_trainer_lr_decays_per_epoch(tmp_path, rng):
     """exp_gamma must actually reach the compiled step (regression for the
     trace-time LR-closure bug)."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from deepglobalregistration_tpu.config import default_config
@@ -46,6 +47,7 @@ def _setup(config):
     return fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, fp, fs, ip, is_
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(rng):
     config = default_config(feat_model="ResUNetBN2F", feat_model_n_out=8,
                             inlier_model="ResUNetBN2FX", lr=0.03)
@@ -66,6 +68,7 @@ def test_train_step_reduces_loss(rng):
     assert bool(stats["grad_finite"])
 
 
+@pytest.mark.slow
 def test_traced_lr_scales_update(rng):
     """The per-epoch LR must reach the compiled step as a traced scalar: the
     SAME jitted step called with two different lr values must produce updates
@@ -91,6 +94,7 @@ def test_traced_lr_scales_update(rng):
     assert moved
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(rng):
     # 8 virtual CPU devices (conftest): the sharded step must match the
     # unsharded one bit-for-tolerance since GSPMD only changes placement.
@@ -126,6 +130,7 @@ def test_sharded_step_matches_single_device(rng):
         np.asarray(a), np.asarray(b)), p2, p3)
 
 
+@pytest.mark.slow
 def test_nan_grad_guard(rng):
     config = default_config(feat_model="ResUNetBN2F", feat_model_n_out=8,
                             inlier_model="ResUNetBN2FX")
@@ -143,6 +148,7 @@ def test_nan_grad_guard(rng):
                  ip, params)
 
 
+@pytest.mark.slow
 def test_train_step_inlier_knn2(rng):
     config = default_config(feat_model="ResUNetBN2F", feat_model_n_out=8,
                             inlier_model="ResUNetBN2FX", inlier_knn=2)
