@@ -31,7 +31,8 @@ def main():
         feat_model="ResUNetBN2C", feat_model_n_out=32, feat_conv1_kernel_size=7,
         inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
         voxel_size=0.05, inlier_feature_type="ones",
-        dense_extent="256,256,256")  # 12.8 m box at 5 cm: dense kmap fast path
+        dense_extent="256,256,256",  # 12.8 m box at 5 cm: dense kmap fast path
+        bf16=True)  # MXU-native conv compute (f32 matching/solvers)
     dgr = DeepGlobalRegistration(config)
 
     pairs = [synthetic_pair(n=30000, seed=s) for s in range(4)]

@@ -294,5 +294,8 @@ def apply(params: common.Params, state: common.Params, cfg: ResUNetConfig,
     out = conv(params["final"], out, id_kmap)
 
     if cfg.normalize_feature:
+        # normalize in f32 even under a bf16 compute path (downstream KNN
+        # matching needs f32 features; see ops/knn.py precision note)
+        out = out.astype(jnp.float32)
         out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
     return out, new_state

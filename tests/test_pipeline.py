@@ -134,3 +134,20 @@ def test_knn_search_method_cpu_matches_gpu(rng):
     T_cpu = dgr_cpu.register(xyz, xyz + t)
     np.testing.assert_allclose(T_cpu, T_gpu, atol=1e-4)
     np.testing.assert_allclose(T_cpu[:3, 3], t, atol=0.02)
+
+
+def test_register_bf16_compute(rng):
+    """bf16 conv compute must still recover a grid-aligned translation (the
+    MXU-native path; matching/solvers stay f32)."""
+    cfg = default_config(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1,
+        bf16=True)
+    dgr_bf16 = DeepGlobalRegistration(cfg)
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 8], np.float32) * dgr_bf16.voxel_size
+    T = dgr_bf16.register(xyz, xyz + t)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
