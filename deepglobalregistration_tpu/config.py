@@ -124,6 +124,10 @@ tpu_arg.add_argument("--point_buckets", type=str, default="8192,16384,32768,6553
 tpu_arg.add_argument("--ransac_hypotheses", type=int, default=16384)
 tpu_arg.add_argument("--level_shrink", type=int, default=2,
                      help="per-level pyramid capacity divisor (1 = no shrink)")
+tpu_arg.add_argument("--level_shrink_6d", type=int, default=1,
+                     help="capacity divisor for the 6D inlier pyramid "
+                          "(outlier rows barely merge under 6D stride-down; "
+                          "edge-compacted convs make full capacity cheap)")
 tpu_arg.add_argument("--num_devices", type=int, default=0,
                      help="data-parallel devices for training (0 = all visible)")
 tpu_arg.add_argument("--fold_bn", type=str2bool, default=True,

@@ -76,6 +76,11 @@ class DeepGlobalRegistration:
         self.buckets = tuple(int(b) for b in str(
             getattr(config, "point_buckets", "")).split(",") if b) or _DEFAULT_BUCKETS
         self.level_shrink = int(getattr(config, "level_shrink", 2))
+        # 6D correspondence grids barely merge under stride-down (outlier rows
+        # scatter in 6D), so the inlier pyramid keeps full capacity by default
+        # — edge-compacted convs make deep-level capacity cheap (FLOPs track
+        # edges, not capacity).
+        self.level_shrink_6d = int(getattr(config, "level_shrink_6d", 1))
         de = str(getattr(config, "dense_extent", "") or "")
         self.dense_extent = tuple(int(x) for x in de.split(",")) if de else None
         self.ransac_hypotheses = int(getattr(config, "ransac_hypotheses", 16384))
@@ -166,6 +171,7 @@ class DeepGlobalRegistration:
         fcgf_spec, fcgf_cfg = self.fcgf_spec, self.fcgf_cfg
         inlier_spec, inlier_cfg = self.inlier_spec, self.inlier_cfg
         shrink = self.level_shrink
+        shrink6 = self.level_shrink_6d
 
         @jax.jit
         def quantize(xyz_pair, nums):
@@ -226,11 +232,11 @@ class DeepGlobalRegistration:
             if hasattr(inlier_cfg, "family") and not inlier_cfg.family.startswith("sp"):
                 plan = up.build_paired_unet_plan(
                     c0, c1, num0, inlier_cfg.conv1_kernel_size,
-                    inlier_cfg.region_type, inlier_cfg.levels, shrink)
+                    inlier_cfg.region_type, inlier_cfg.levels, shrink6)
                 plan = jax.tree.map(lambda x: x[None], plan)
             else:
                 plan = jax.vmap(inlier_spec.build_plan, in_axes=(0, None, None))(
-                    jax.tree.map(lambda x: x[None], grid6), inlier_cfg, shrink)
+                    jax.tree.map(lambda x: x[None], grid6), inlier_cfg, shrink6)
             logits, _ = inlier_spec.apply(inlier_params, inlier_state, inlier_cfg,
                                           plan, ifeat[None], train=False)
             w = jax.nn.sigmoid(logits[0, :, 0].astype(jnp.float32))

@@ -169,10 +169,11 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
             from ..models import unet_plan as up
 
             plan6 = jax.vmap(up.build_paired_unet_plan,
-                             in_axes=(0, 0, 0, None, None, None))(
+                             in_axes=(0, 0, 0, None, None, None, None))(
                 coords6[..., :3], coords6[..., 3:], batch.num0,
                 inlier_cfg.conv1_kernel_size, inlier_cfg.region_type,
-                inlier_cfg.levels)
+                inlier_cfg.levels,
+                int(getattr(config, "level_shrink_6d", 1)))
         else:
             plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
         logits, new_state = inlier_spec.apply(inlier_params, inlier_state, inlier_cfg,
