@@ -176,9 +176,29 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
     # levels use hash tables for everything.
     tables = [hashing.build_table(g.coords, g.num) for g in grids]
 
-    conv1_kmap = paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs1)
-    self0 = conv1_kmap if conv1_kernel_size == 3 else \
-        paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs3)
+    if EDGE_CONV_6D:
+        # Slot-form level-0 maps straight into edge form: no dense [729, N]
+        # buffer, no per-row compaction sort (ops/paired_kernel_map.py).
+        from ..ops import edge_conv as ec
+
+        sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num, offs1)
+        conv1_kmap = ec.SizedEdgeMap(
+            ec.build_edge_map_from_slots(sk, si, offs1.shape[0],
+                                         tile=_EDGE_TILE),
+            grid0.capacity)
+        if conv1_kernel_size == 3:
+            self0 = conv1_kmap
+        else:
+            sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num,
+                                                               offs3)
+            self0 = ec.SizedEdgeMap(
+                ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
+                                             tile=_EDGE_TILE),
+                grid0.capacity)
+    else:
+        conv1_kmap = paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs1)
+        self0 = conv1_kmap if conv1_kernel_size == 3 else \
+            paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs3)
     self_kmaps = (self0,) + tuple(
         kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
         for i in range(1, n_levels))
@@ -192,13 +212,23 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
     overflow = tables[0].overflow
     for t in tables[1:]:
         overflow = jnp.logical_or(overflow, t.overflow)
-    # Edge compaction: unique c0 per row makes level-0 caps EXACT (one
-    # candidate per 3D c0-offset: 27 for k3, k^3 for conv1).
+    # Edge compaction for the deeper (generic) maps; level 0 is already in
+    # edge form via the slot-form paired builder above.
     if EDGE_CONV_6D:
-        conv1_kmap, self_kmaps, down_kmaps, up_kmaps, eo = _edgify_6d(
-            grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
-            d_cap0=conv1_kernel_size ** 3, d_cap_self0=27)
-        overflow = jnp.logical_or(overflow, eo)
+        from ..ops import edge_conv as ec
+
+        def edg(km, out_grid):
+            nonlocal overflow
+            em = ec.build_edge_map(km, d_cap=_D_CAP_6D, tile=_EDGE_TILE)
+            overflow = jnp.logical_or(overflow, em.overflow)
+            return ec.SizedEdgeMap(em, out_grid.capacity)
+
+        self_kmaps = self_kmaps[:1] + tuple(
+            edg(self_kmaps[i], grids[i]) for i in range(1, n_levels))
+        down_kmaps = tuple(edg(down_kmaps[i], grids[i + 1])
+                           for i in range(n_levels - 1))
+        up_kmaps = tuple(edg(up_kmaps[i], grids[i])
+                         for i in range(n_levels - 1))
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, overflow=overflow)

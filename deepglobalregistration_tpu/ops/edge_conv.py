@@ -64,7 +64,7 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     k_total, m = kmap.shape
     d_cap = min(d_cap, k_total)
 
-    # --- 1. per-row compaction: valid offsets to the front (stable) ---------
+    # --- per-row compaction: valid offsets to the front (stable) ------------
     kt = kmap.T  # [M, K]
     valid = kt >= 0
     order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)  # [M, K]
@@ -74,19 +74,40 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     degree = jnp.sum(valid, axis=1)
     overflow = jnp.any(degree > d_cap)
 
-    # --- 2. flatten to edges and sort by offset -----------------------------
-    e = m * d_cap
-    # invalid edges get k = k_total (dummy trailing bin)
-    edge_k = jnp.where(slot_valid, slots, k_total).reshape(e)
-    edge_in = slot_in.reshape(e)
+    edge_k = jnp.where(slot_valid, slots, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
-                                (m, d_cap)).reshape(e)
+                                (m, d_cap))
+    return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
+                           edge_out.reshape(-1), k_total, tile, overflow)
+
+
+def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
+                              k_total: int, tile: int = 128) -> EdgeMap:
+    """Build the tile-blocked edge list from slot-form maps [S, M]: slot_k is
+    the kernel-offset index per (slot, output row) and slot_in the input row
+    (-1 in either = no edge). Used by the paired 6D builder, which knows each
+    row's <= 27 candidate edges directly — no dense [K, M] map, no argsort."""
+    s, m = slot_k.shape
+    valid = (slot_k >= 0) & (slot_in >= 0)
+    edge_k = jnp.where(valid, slot_k, k_total)
+    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (s, m))
+    return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
+                           edge_out.reshape(-1), k_total, tile,
+                           jnp.asarray(False))
+
+
+def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
+                    edge_out: jnp.ndarray, k_total: int, tile: int,
+                    overflow: jnp.ndarray) -> EdgeMap:
+    """Sort edges by offset, pad each offset's bin to a tile multiple, and
+    scatter into single-offset tiles. Invalid edges carry k = k_total (a dummy
+    trailing bin whose tiles stay marked -1 and are skipped at compute)."""
+    e = edge_k.shape[0]
     sort_idx = jnp.argsort(edge_k)  # stable not required within a bin
     edge_k = edge_k[sort_idx]
     edge_in = edge_in[sort_idx]
     edge_out = edge_out[sort_idx]
 
-    # --- 3. pad each bin to a tile multiple via positional scatter ----------
     counts = jnp.zeros(k_total + 1, jnp.int32).at[edge_k].add(1)
     padded = -(-counts // tile) * tile  # ceil to tile multiple
     starts_pad = jnp.concatenate([jnp.zeros(1, jnp.int32),

@@ -61,3 +61,54 @@ def build_kernel_map_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     for i in range(3):
         ok = ok & (c1_cand[i][inv] == c1[:, i][None, :] + off_d[:, 3 + i][:, None])
     return jnp.where(ok, cand_k, -1).astype(jnp.int32)
+
+
+def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
+                            offsets: np.ndarray, unit: int = 1):
+    """Slot-form edges of the paired 6D self map: (slot_k, slot_in), each
+    [S, N] with S = number of distinct first-half 3D offsets (27 for k3).
+
+    Per (3D offset a, row j) there is at most ONE candidate input row (c0 is
+    unique), whose kernel-offset index k is decided by the observed second-half
+    displacement d1 = c1[cand] - c1[j] via a STATIC (a, d1) -> k table. This
+    feeds ops/edge_conv.build_edge_map_from_slots directly — no dense [729, N]
+    map and no per-row compaction sort.
+    """
+    k, d = offsets.shape
+    assert d == 6
+    n = c0.shape[0]
+    offs = np.asarray(offsets) * unit
+    off0, inv0 = np.unique(offs[:, :3], axis=0, return_inverse=True)
+    k0n = len(off0)
+
+    # static (a, boxed d1) -> canonical offset index table
+    lo1 = offs[:, 3:].min(axis=0)
+    box = (offs[:, 3:].max(axis=0) - lo1) // unit + 1
+    tab = np.full((k0n, int(box[0] * box[1] * box[2])), -1, np.int32)
+    for kk in range(k):
+        p = (offs[kk, 3:] - lo1) // unit
+        tab[inv0[kk], int(p[0] + box[0] * (p[1] + box[1] * p[2]))] = kk
+
+    table0 = hashing.build_table(c0, num)
+    valid = jnp.arange(n, dtype=jnp.int32) < num
+    cols0 = tuple(c0[:, i] for i in range(3))
+    qcols = tuple(cols0[i][None, :] + jnp.asarray(off0[:, i], jnp.int32)[:, None]
+                  for i in range(3))
+    qv = jnp.broadcast_to(valid[None, :], (k0n, n))
+    cand = hashing.lookup_cols(table0, qcols, query_valid=qv)  # [k0n, N]
+    cand_c = jnp.maximum(cand, 0)
+
+    # boxed second-half displacement of each candidate
+    pidx = jnp.zeros((k0n, n), jnp.int32)
+    in_box = cand >= 0
+    mult = 1
+    for i in range(3):
+        di = c1[:, i][cand_c] - c1[:, i][None, :] - int(lo1[i])
+        qi, ri = di // unit, di % unit
+        in_box = in_box & (ri == 0) & (qi >= 0) & (qi < int(box[i]))
+        pidx = pidx + mult * jnp.clip(qi, 0, int(box[i]) - 1)
+        mult *= int(box[i])
+    slot_k = jnp.where(in_box,
+                       jnp.asarray(tab)[jnp.arange(k0n)[:, None], pidx], -1)
+    slot_in = jnp.where(slot_k >= 0, cand, -1)
+    return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32)

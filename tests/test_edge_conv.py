@@ -132,3 +132,41 @@ def test_inlier_net_edge_plan_matches_dense(rng):
         unet_plan.EDGE_CONV_6D = True
     edge = run()
     np.testing.assert_allclose(edge, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_paired_slot_edge_plan_matches_dense(rng):
+    """Paired (slot-form) edge plan must reproduce the dense paired plan's
+    inlier-net output — validates build_edge_slots_paired's static (a,d1)->k
+    table against the canonical offset enumeration."""
+    from deepglobalregistration_tpu.models import load_model, unet_plan
+
+    spec = load_model("ResUNetBN2FX")
+    cfg = spec.make_config(1, 1, conv1_kernel_size=3, normalize_feature=False,
+                           D=6)
+    params, state = spec.init(jax.random.PRNGKey(2), cfg)
+
+    n, cap = 150, 256
+    c0 = np.zeros((cap, 3), np.int32)
+    c0[:n] = np.unique(rng.randint(-8, 8, size=(n * 3, 3)), axis=0)[:n]
+    c0[n:] = 32766
+    idx1 = rng.randint(0, n, size=cap).astype(np.int32)
+    c1 = c0[idx1] + rng.randint(-2, 3, size=(cap, 3)).astype(np.int32)
+    feats = rng.randn(1, cap, 1).astype(np.float32)
+
+    def run():
+        plan = unet_plan.build_paired_unet_plan(
+            jnp.asarray(c0), jnp.asarray(c1), jnp.int32(n),
+            cfg.conv1_kernel_size, cfg.region_type, cfg.levels, 1)
+        plan = jax.tree.map(lambda x: x[None], plan)
+        out, _ = spec.apply(params, state, cfg, plan, jnp.asarray(feats),
+                            train=False)
+        return np.asarray(out)
+
+    unet_plan.EDGE_CONV_6D = False
+    try:
+        dense = run()
+    finally:
+        unet_plan.EDGE_CONV_6D = True
+    edge = run()
+    np.testing.assert_allclose(edge[:, :150], dense[:, :150],
+                               rtol=1e-4, atol=1e-4)
