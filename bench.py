@@ -20,8 +20,11 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from deepglobalregistration_tpu.utils.platform import (
+        enable_compilation_cache, select_platform)
+
+    enable_compilation_cache()
+    platform = select_platform()  # CPU fallback when the tunnel is dead
 
     from deepglobalregistration_tpu.config import default_config
     from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
@@ -56,6 +59,7 @@ def main():
         "value": round(pairs_per_sec, 3),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+        "platform": jax.devices()[0].platform,
         "baseline_note": "reference 1.43 pairs/s is ESTIMATED from the "
                          "paper's speed-recall frontier figure (~0.7 s/pair); "
                          "no numeric baseline exists in-repo, so vs_baseline "

@@ -37,13 +37,16 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Per-field encoding: value + 2^15 clipped to [0, 2^16 - 2]. The all-ones field
 # value (0xFFFF) is reserved so that the all-ones *word* (0xFFFFFFFF) marks padded
 # rows, which therefore never match any valid query.
 _FIELD_OFFSET = 1 << 15
 _FIELD_MAX = (1 << 16) - 2
-_PAD_WORD = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) so importing this module never initializes a JAX backend —
+# on the tunneled platform a dead relay makes backend init hang for minutes.
+_PAD_WORD = np.uint32(0xFFFFFFFF)
 
 # Window-probe width and bucket over-provisioning factor. With B = 8N buckets,
 # P(max load > 8) is ~1e-9 even at N = 2^20 for a well-mixed hash.

@@ -23,9 +23,10 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _TILE = 4096
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # numpy: avoid backend init at import
 
 
 def find_nn(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray, num1: jnp.ndarray,

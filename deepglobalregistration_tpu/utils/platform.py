@@ -32,3 +32,34 @@ def tpu_reachable(timeout: float = 0.25) -> bool:
         finally:
             s.close()
     return False
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist compiled executables across processes. On the tunneled TPU a
+    big jit costs 1-5 min to compile; every entry point should call this
+    before the first trace."""
+    import os
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      path or os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+
+def select_platform() -> str:
+    """Entry-point guard: when the environment pins JAX_PLATFORMS=axon but no
+    relay listener is up, backend init HANGS for tens of minutes — fall back
+    to CPU immediately instead. Must run before the first backend touch.
+    Returns the platform chosen ('axon' or 'cpu')."""
+    import logging
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "axon" and not tpu_reachable():
+        logging.getLogger(__name__).warning(
+            "axon TPU relay unreachable — falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu"
+    return os.environ.get("JAX_PLATFORMS") or "default"

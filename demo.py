@@ -42,7 +42,12 @@ def synthetic_pair(n=30000, seed=0):
     return xyz0, xyz1, T_gt
 
 
+from deepglobalregistration_tpu.utils.platform import (
+    enable_compilation_cache, select_platform)
+
 if __name__ == "__main__":
+    enable_compilation_cache()
+    select_platform()
     config = get_config()
 
     if config.weights:

@@ -85,7 +85,12 @@ def evaluate(methods, method_names, data_loader, config, debug: bool = False):
     return stats
 
 
+from deepglobalregistration_tpu.utils.platform import (
+    enable_compilation_cache, select_platform)
+
 if __name__ == "__main__":
+    enable_compilation_cache()
+    select_platform()
     config = get_config()
     dgr = DeepGlobalRegistration(config)
 

@@ -58,7 +58,12 @@ def evaluate(config, data_loader, method):
     return stats
 
 
+from deepglobalregistration_tpu.utils.platform import (
+    enable_compilation_cache, select_platform)
+
 if __name__ == "__main__":
+    enable_compilation_cache()
+    select_platform()
     config = get_config()
     if config.dataset not in ("KITTIPairDataset", "KITTINMPairDataset"):
         config.dataset = "KITTINMPairDataset"

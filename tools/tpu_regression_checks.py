@@ -25,6 +25,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+from deepglobalregistration_tpu.utils.platform import select_platform
+
+select_platform()  # CPU fallback when the tunnel is dead (backend init hangs)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,6 +89,39 @@ def main():
     failures += bad > 0
     print(f"kernel map spot-check: {bad} mismatches / {len(sample) * 6} probed "
           f"{'ok' if bad == 0 else 'MISCOMPILED'}")
+
+    # 4) edge-compacted conv vs dense gather-GEMM (the edge path leans on
+    # sort + positional scatter + cond-in-scan — patterns adjacent to the
+    # observed sort-dedup miscompile; verify exactness on hardware)
+    from deepglobalregistration_tpu.ops import edge_conv, sparse_conv
+
+    km = np.full((729, 2048), -1, np.int32)
+    mask = rng.rand(729, 2048) < 0.01
+    km[mask] = rng.randint(0, 2048, size=int(mask.sum()))
+    for j in range(2048):  # keep per-row degree within the cap
+        v = np.where(km[:, j] >= 0)[0]
+        if len(v) > 48:
+            km[v[48:], j] = -1
+    feats = rng.randn(2048, 16).astype(np.float32)
+    kern = rng.randn(729, 16, 16).astype(np.float32)
+
+    @jax.jit
+    def both(f, w, k):
+        dense = sparse_conv.sparse_conv(f, w, k)
+        em = edge_conv.build_edge_map(k, d_cap=48, tile=128)
+        edge = edge_conv.sparse_conv_edges(f, w, em, out_rows=2048)
+        return dense, edge, em.overflow
+
+    dense, edge, ovf = jax.tree.map(np.asarray,
+                                    both(jnp.asarray(feats), jnp.asarray(kern),
+                                         jnp.asarray(km)))
+    err = float(np.abs(dense - edge).max())
+    # TPU einsums multiply in bf16 by default; the two paths group sums
+    # differently, so allow bf16-scale drift (CPU comes out ~1e-5).
+    ok = err < 0.05 and not bool(ovf)
+    failures += not ok
+    print(f"edge-conv vs dense: max|diff|={err:.2e} overflow={bool(ovf)} "
+          f"{'ok' if ok else 'MISCOMPILED'}")
 
     if failures:
         print("FAIL: platform miscompilation detected — keep/extend the workarounds!")

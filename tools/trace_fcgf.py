@@ -23,6 +23,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+from deepglobalregistration_tpu.utils.platform import select_platform
+
+select_platform()  # CPU fallback when the tunnel is dead (backend init hangs)
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -35,7 +35,12 @@ def main(config, resume: bool = False):
     trainer.train()
 
 
+from deepglobalregistration_tpu.utils.platform import (
+    enable_compilation_cache, select_platform)
+
 if __name__ == "__main__":
+    enable_compilation_cache()
+    select_platform()
     config = get_config()
     random.seed(config.__dict__.get("seed", 0))
     np.random.seed(0)
