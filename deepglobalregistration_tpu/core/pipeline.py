@@ -172,6 +172,10 @@ class DeepGlobalRegistration:
         inlier_spec, inlier_cfg = self.inlier_spec, self.inlier_cfg
         shrink = self.level_shrink
         shrink6 = self.level_shrink_6d
+        # Fused Pallas 1-NN on TPU for the non-vmapped single-pair stages
+        # (matching, ICP, feature-matching safeguard); the vmapped batch path
+        # keeps the scan formulation.
+        use_pallas = knn.pallas_ok()
 
         @jax.jit
         def quantize(xyz_pair, nums):
@@ -199,7 +203,7 @@ class DeepGlobalRegistration:
         def match_inlier_core(feats0, feats1, xyz0, xyz1,
                               coords0, coords1, num0, num1,
                               inlier_params=None, inlier_state=None,
-                              idx1=None):
+                              idx1=None, pallas=False):
             """1-NN matching + 6D inlier prediction -> clipped weights + wsum.
 
             Mirrors deep_global_registration.py:171-272: corres_idx0 = arange,
@@ -211,7 +215,8 @@ class DeepGlobalRegistration:
             if inlier_params is None:
                 inlier_params, inlier_state = self.inlier_params, self.inlier_state
             if idx1 is None:
-                idx1, _ = knn.find_nn(feats0, feats1, num0, num1)
+                idx1, _ = knn.find_nn(feats0, feats1, num0, num1,
+                                      use_pallas=pallas)
             c0, c1 = coords0, coords1[idx1]
             coords6 = jnp.concatenate([c0, c1], axis=1)
             grid6 = Grid(coords=coords6, num=num0)
@@ -250,7 +255,8 @@ class DeepGlobalRegistration:
         def match_and_inlier(inlier_params, inlier_state, feats0, feats1, xyz0, xyz1,
                              coords0, coords1, num0, num1):
             return match_inlier_core(feats0, feats1, xyz0, xyz1, coords0, coords1,
-                                     num0, num1, inlier_params, inlier_state)
+                                     num0, num1, inlier_params, inlier_state,
+                                     pallas=use_pallas)
 
         @jax.jit
         def inlier_from_idx(inlier_params, inlier_state, idx1, feats0, feats1,
@@ -279,14 +285,15 @@ class DeepGlobalRegistration:
             res = ransac.ransac_feature_matching(
                 key, xyz0, xyz1, feats0, feats1, num0, num1,
                 distance_threshold=2 * voxel,
-                num_hypotheses=self.ransac_hypotheses)
+                num_hypotheses=self.ransac_hypotheses,
+                use_pallas=use_pallas)
             return res.R, res.t
 
         @jax.jit
         def icp_polish(xyz0, xyz1, num0, num1, T):
             res = icp_ops.registration_icp(xyz0, xyz1, num0, num1,
                                            max_correspondence_distance=2 * voxel,
-                                           init=T)
+                                           init=T, use_pallas=use_pallas)
             return res.T
 
         # ------------------------------------------------------------------

@@ -30,8 +30,11 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
                      num_tgt: jnp.ndarray, max_correspondence_distance: float,
                      init: jnp.ndarray | None = None, max_iteration: int = 30,
                      relative_fitness: float = 1e-6,
-                     relative_rmse: float = 1e-6) -> ICPResult:
-    """source/target: [N, 3] padded; init: [4, 4] initial transform."""
+                     relative_rmse: float = 1e-6,
+                     use_pallas: bool = False) -> ICPResult:
+    """source/target: [N, 3] padded; init: [4, 4] initial transform.
+    use_pallas: fused 1-NN kernel for the per-iteration spatial scan (TPU,
+    non-vmapped call sites only)."""
     n = source.shape[0]
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
     src_valid = jnp.arange(n, dtype=jnp.int32) < num_src
@@ -39,7 +42,8 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
 
     def evaluate(T):
         moved = se3.apply_transform(source, T)
-        idx, d2 = knn.find_nn(moved, target, num_src, num_tgt)
+        idx, d2 = knn.find_nn(moved, target, num_src, num_tgt,
+                              use_pallas=use_pallas)
         inl = (d2 < thresh2) & src_valid
         cnt = jnp.sum(inl.astype(jnp.float32))
         fitness = cnt / jnp.maximum(jnp.sum(src_valid.astype(jnp.float32)), 1.0)

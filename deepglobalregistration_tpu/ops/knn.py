@@ -29,12 +29,26 @@ _TILE = 4096
 _INF = np.float32(np.inf)  # numpy: avoid backend init at import
 
 
+def pallas_ok() -> bool:
+    """Whether the fused Pallas 1-NN kernel should be used (TPU backend).
+    Callers must still pass use_pallas=False from vmapped contexts."""
+    import jax as _j
+
+    return _j.default_backend() == "tpu"
+
+
 def find_nn(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray, num1: jnp.ndarray,
-            tile: int = _TILE) -> Tuple[jnp.ndarray, jnp.ndarray]:
+            tile: int = _TILE, use_pallas: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """1-nearest-neighbor of each F0 row among valid F1 rows (squared L2).
 
     F0: [N0, C], F1: [N1, C]. Returns (idx [N0] int32, sqdist [N0] f32).
+    use_pallas: route to the fused Pallas kernel (ops/pallas_knn.py) — only
+    from non-vmapped TPU call sites.
     """
+    if use_pallas:
+        from . import pallas_knn
+
+        return pallas_knn.find_nn_pallas(F0, F1, num0, num1)
     n0, c = F0.shape
     n1 = F1.shape[0]
     tile = min(tile, n1)

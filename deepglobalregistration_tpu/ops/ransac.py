@@ -81,7 +81,8 @@ def ransac_correspondence(key: jax.Array, X: jnp.ndarray, Y: jnp.ndarray,
 
 def ransac_feature_matching(key: jax.Array, xyz0, xyz1, feats0, feats1,
                             num0, num1, distance_threshold: float,
-                            num_hypotheses: int = 16384) -> RansacResult:
+                            num_hypotheses: int = 16384,
+                            use_pallas: bool = False) -> RansacResult:
     """Feature-matching RANSAC variant (deep_global_registration.py:29-47):
     build 1-NN feature correspondences first, then run correspondence RANSAC.
 
@@ -91,6 +92,6 @@ def ransac_feature_matching(key: jax.Array, xyz0, xyz1, feats0, feats1,
     """
     from . import knn
 
-    idx, _ = knn.find_nn(feats0, feats1, num0, num1)
+    idx, _ = knn.find_nn(feats0, feats1, num0, num1, use_pallas=use_pallas)
     return ransac_correspondence(key, xyz0, xyz1[idx], num0, distance_threshold,
                                  num_hypotheses=num_hypotheses)

@@ -123,6 +123,27 @@ def main():
     print(f"edge-conv vs dense: max|diff|={err:.2e} overflow={bool(ovf)} "
           f"{'ok' if ok else 'MISCOMPILED'}")
 
+    # 5) fused Pallas 1-NN vs the scan path (compiled, not interpreted)
+    from deepglobalregistration_tpu.ops import knn as knn_ops
+    from deepglobalregistration_tpu.ops.pallas_knn import find_nn_pallas
+
+    f0 = np.zeros((1024, 32), np.float32)
+    f0[:700] = rng.randn(700, 32)
+    f1 = np.zeros((2048, 32), np.float32)
+    f1[:1500] = rng.randn(1500, 32)
+    i_ref, d_ref = jax.jit(knn_ops.find_nn)(jnp.asarray(f0), jnp.asarray(f1),
+                                            jnp.int32(700), jnp.int32(1500))
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs interpret mode
+    i_p, d_p = find_nn_pallas(jnp.asarray(f0), jnp.asarray(f1),
+                              jnp.int32(700), jnp.int32(1500),
+                              interpret=interp)
+    idx_ok = bool((np.asarray(i_p)[:700] == np.asarray(i_ref)[:700]).all())
+    d_err = float(np.abs(np.asarray(d_p)[:700] - np.asarray(d_ref)[:700]).max())
+    ok = idx_ok and d_err < 1e-3
+    failures += not ok
+    print(f"pallas 1-NN vs scan: idx_ok={idx_ok} max|d_diff|={d_err:.2e} "
+          f"{'ok' if ok else 'MISCOMPILED'}")
+
     if failures:
         print("FAIL: platform miscompilation detected — keep/extend the workarounds!")
         sys.exit(1)
