@@ -64,17 +64,23 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     k_total, m = kmap.shape
     d_cap = min(d_cap, k_total)
 
-    # --- per-row compaction: valid offsets to the front (stable) ------------
+    # --- per-row compaction: cumsum-ranked scatter of the valid offsets -----
+    # (an argsort over [M, K] does the same in O(K log K); the running rank
+    # is O(K) and turns into one scan + one scatter wave)
     kt = kmap.T  # [M, K]
     valid = kt >= 0
-    order = jnp.argsort(jnp.logical_not(valid), axis=1, stable=True)  # [M, K]
-    slots = order[:, :d_cap]  # [M, d_cap] offset ids, valid-first
-    slot_in = jnp.take_along_axis(kt, slots, axis=1)  # [M, d_cap]
-    slot_valid = slot_in >= 0
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # rank among valid
     degree = jnp.sum(valid, axis=1)
     overflow = jnp.any(degree > d_cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
+    tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
+    ks = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 1)
+    slot_k = jnp.full((m, d_cap + 1), k_total, jnp.int32).at[rows, tgt].set(
+        ks, mode="drop")[:, :d_cap]
+    slot_in = jnp.full((m, d_cap + 1), -1, jnp.int32).at[rows, tgt].set(
+        kt, mode="drop")[:, :d_cap]
 
-    edge_k = jnp.where(slot_valid, slots, k_total)
+    edge_k = jnp.where(slot_in >= 0, slot_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
                                 (m, d_cap))
     return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
