@@ -80,8 +80,12 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
                        for i in range(n_levels))
     down_kmaps = tuple(kmap(i, grids[i + 1], offs3, unit=2 ** i)
                        for i in range(n_levels - 1))
-    up_kmaps = tuple(kmap(i + 1, grids[i], offs3, unit=2 ** i, transpose=True)
-                     for i in range(n_levels - 1))
+    # The 6D edge path derives up maps from the down edge sets (transpose =
+    # same edges, in/out swapped) — no dense up builds needed there.
+    edgify = ndim == 6 and EDGE_CONV_6D
+    up_kmaps = () if edgify else tuple(
+        kmap(i + 1, grids[i], offs3, unit=2 ** i, transpose=True)
+        for i in range(n_levels - 1))
     pool_down: Tuple[jnp.ndarray, ...] = ()
     pool_up: Tuple[jnp.ndarray, ...] = ()
     if with_pooling:
@@ -93,9 +97,9 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
     overflow = tables[0].overflow
     for t in tables[1:]:
         overflow = jnp.logical_or(overflow, t.overflow)
-    if ndim == 6 and EDGE_CONV_6D:
+    if edgify:
         conv1_kmap, self_kmaps, down_kmaps, up_kmaps, eo = _edgify_6d(
-            grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
+            grids, conv1_kmap, self_kmaps, down_kmaps,
             d_cap0=max(_D_CAP_6D, min(conv1_kernel_size ** 3, 2 * _D_CAP_6D)))
         overflow = jnp.logical_or(overflow, eo)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
@@ -115,10 +119,11 @@ _D_CAP_6D = 64
 _EDGE_TILE = 128
 
 
-def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
+def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
                d_cap0: int, d_cap_self0: int = _D_CAP_6D):
     """Convert 6D dense kernel maps into edge-compacted form (ops/edge_conv):
-    FLOPs then track actual correspondence-graph edges instead of 729 * M."""
+    FLOPs then track actual correspondence-graph edges instead of 729 * M.
+    Up maps come from the down edge sets (in/out swap) — no dense up builds."""
     from ..ops import edge_conv as ec
 
     overflow = jnp.asarray(False)
@@ -134,11 +139,14 @@ def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps, up_kmaps,
         else conv(self_kmaps[0], grids[0], d_cap_self0)
     selfs = (self0,) + tuple(conv(self_kmaps[i], grids[i], _D_CAP_6D)
                              for i in range(1, len(self_kmaps)))
-    downs = tuple(conv(down_kmaps[i], grids[i + 1], _D_CAP_6D)
-                  for i in range(len(down_kmaps)))
-    ups = tuple(conv(up_kmaps[i], grids[i], _D_CAP_6D)
-                for i in range(len(up_kmaps)))
-    return conv1, selfs, downs, ups, overflow
+    downs, ups = [], []
+    for i in range(len(down_kmaps)):
+        dn, up = ec.build_edge_maps_down_up(down_kmaps[i], d_cap=_D_CAP_6D,
+                                            tile=_EDGE_TILE)
+        overflow = jnp.logical_or(overflow, dn.overflow)
+        downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
+        ups.append(ec.SizedEdgeMap(up, grids[i].capacity))
+    return conv1, selfs, tuple(downs), tuple(ups), overflow
 
 
 def identity_kmap(grid: Grid) -> jnp.ndarray:
@@ -205,15 +213,12 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
     down_kmaps = tuple(
         kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
         for i in range(n_levels - 1))
-    up_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3, unit=2 ** i,
-                                    transpose=True)
-        for i in range(n_levels - 1))
     overflow = tables[0].overflow
     for t in tables[1:]:
         overflow = jnp.logical_or(overflow, t.overflow)
     # Edge compaction for the deeper (generic) maps; level 0 is already in
-    # edge form via the slot-form paired builder above.
+    # edge form via the slot-form paired builder above, and up maps come from
+    # the down edge sets (in/out swap) — no dense transpose builds at all.
     if EDGE_CONV_6D:
         from ..ops import edge_conv as ec
 
@@ -225,10 +230,19 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
 
         self_kmaps = self_kmaps[:1] + tuple(
             edg(self_kmaps[i], grids[i]) for i in range(1, n_levels))
-        down_kmaps = tuple(edg(down_kmaps[i], grids[i + 1])
-                           for i in range(n_levels - 1))
-        up_kmaps = tuple(edg(up_kmaps[i], grids[i])
-                         for i in range(n_levels - 1))
+        downs, ups = [], []
+        for i in range(n_levels - 1):
+            dn, up = ec.build_edge_maps_down_up(down_kmaps[i], d_cap=_D_CAP_6D,
+                                                tile=_EDGE_TILE)
+            overflow = jnp.logical_or(overflow, dn.overflow)
+            downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
+            ups.append(ec.SizedEdgeMap(up, grids[i].capacity))
+        down_kmaps, up_kmaps = tuple(downs), tuple(ups)
+    else:
+        up_kmaps = tuple(
+            kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3,
+                                        unit=2 ** i, transpose=True)
+            for i in range(n_levels - 1))
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, overflow=overflow)

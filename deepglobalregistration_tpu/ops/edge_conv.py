@@ -61,6 +61,34 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     d_cap: static per-row edge capacity (27 is exact for paired 6D level-0
     maps; deeper levels use a configured cap with the overflow flag).
     """
+    edge_k, edge_in, edge_out, k_total, tile_sz, overflow = _compact_edges(
+        kmap, d_cap, tile)
+    return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
+                           overflow)
+
+
+def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
+                            tile: int = 128) -> tuple:
+    """(down, up) edge maps from ONE dense strided kernel map.
+
+    A transposed convolution's map is the SAME edge set with input and output
+    exchanged: forward down edge (offset k, in=fine j, out=coarse p) means
+    c_fine_j = c_coarse_p + off_k * unit, which is exactly the transpose
+    query c_coarse_p = c_fine_j - off_k * unit (ops/kernel_map.py transpose
+    sign flip) for the up edge (k, in=p, out=j). Deriving the up map here
+    replaces its entire 729-offset hash build with one re-tiling pass."""
+    edge_k, edge_in, edge_out, k_total, tile_sz, overflow = _compact_edges(
+        kmap_down, d_cap, tile)
+    down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
+                           overflow)
+    up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile_sz,
+                         overflow)
+    return down, up
+
+
+def _compact_edges(kmap: jnp.ndarray, d_cap: int, tile: int):
+    """Dense kmap [K, M] -> flat edge triples (k, in, out), invalid edges
+    carrying k = K; per-output-row degree capped at d_cap (overflow flag)."""
     k_total, m = kmap.shape
     d_cap = min(d_cap, k_total)
 
@@ -83,8 +111,8 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     edge_k = jnp.where(slot_in >= 0, slot_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
                                 (m, d_cap))
-    return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
-                           edge_out.reshape(-1), k_total, tile, overflow)
+    return (edge_k.reshape(-1), slot_in.reshape(-1), edge_out.reshape(-1),
+            k_total, tile, overflow)
 
 
 def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,

@@ -170,3 +170,34 @@ def test_paired_slot_edge_plan_matches_dense(rng):
     edge = run()
     np.testing.assert_allclose(edge[:, :150], dense[:, :150],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_up_map_derived_from_down_edges(rng):
+    """The transpose (up) edge map derived by in/out-swapping the down edge
+    set must reproduce the independently hash-built transpose kernel map's
+    conv output."""
+    from deepglobalregistration_tpu.ops import hashing, kernel_map
+    from deepglobalregistration_tpu.ops.sparse_grid import Grid, stride_down
+
+    n, cap = 200, 256
+    coords = np.full((cap, 6), 32766, np.int32)
+    coords[:n] = np.unique(rng.randint(-6, 6, size=(n * 2, 6)), axis=0)[:n]
+    fine = Grid(coords=jnp.asarray(coords), num=jnp.int32(n))
+    coarse = stride_down(fine, 2, out_capacity=cap)
+
+    offs = kernel_map.kernel_offsets(3, 6, kernel_map.HYPER_CUBE)
+    table_f = hashing.build_table(fine.coords, fine.num)
+    down_dense = kernel_map.build_kernel_map(table_f, coarse, offs, unit=1)
+    table_c = hashing.build_table(coarse.coords, coarse.num)
+    up_dense = kernel_map.build_kernel_map(table_c, fine, offs, unit=1,
+                                           transpose=True)
+
+    feats = rng.randn(cap, 4).astype(np.float32)
+    kern = rng.randn(len(offs), 4, 8).astype(np.float32)
+    want = np.asarray(sparse_conv.sparse_conv(
+        jnp.asarray(feats), jnp.asarray(kern), up_dense))
+
+    _, up_em = edge_conv.build_edge_maps_down_up(down_dense, d_cap=64, tile=32)
+    got = np.asarray(edge_conv.sparse_conv_edges(
+        jnp.asarray(feats), jnp.asarray(kern), up_em, out_rows=cap))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
