@@ -45,6 +45,7 @@ def main():
 
     # Adaptive rep count: measure for up to ~90 s or 8 reps, whichever first
     # (tunnel compile/dispatch latencies vary wildly between sessions).
+    dgr.feat_timer.reset()
     t0 = time.time()
     reps = 0
     while reps < 8 and (reps < 2 or time.time() - t0 < 90):
@@ -60,6 +61,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
         "platform": jax.devices()[0].platform,
+        "sec_per_pair": round(dt, 3),
+        "feat_stage_sec": round(dgr.feat_timer.avg, 3),
         "baseline_note": "reference 1.43 pairs/s is ESTIMATED from the "
                          "paper's speed-recall frontier figure (~0.7 s/pair); "
                          "no numeric baseline exists in-repo, so vs_baseline "

@@ -75,7 +75,6 @@ def find_nn_pallas(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray,
     columns are masked by num1 inside the kernel).
     """
     n0, c = F0.shape
-    n1 = F1.shape[1], F1.shape[0]
     n1 = F1.shape[0]
     cp = max(8, -(-c // 8) * 8)
     n0p = -(-n0 // _TQ) * _TQ

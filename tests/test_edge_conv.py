@@ -134,13 +134,15 @@ def test_inlier_net_edge_plan_matches_dense(rng):
     np.testing.assert_allclose(edge, dense, rtol=1e-4, atol=1e-4)
 
 
-def test_paired_slot_edge_plan_matches_dense(rng):
+@pytest.mark.parametrize("model", ["ResUNetBN2FX", "ResUNetBN2F"])
+def test_paired_slot_edge_plan_matches_dense(rng, model):
     """Paired (slot-form) edge plan must reproduce the dense paired plan's
     inlier-net output — validates build_edge_slots_paired's static (a,d1)->k
-    table against the canonical offset enumeration."""
+    table against the canonical offset enumeration, for HYPER_CROSS (X) and
+    HYPER_CUBE (the shipped ResUNetBN2C inlier config) regions."""
     from deepglobalregistration_tpu.models import load_model, unet_plan
 
-    spec = load_model("ResUNetBN2FX")
+    spec = load_model(model)
     cfg = spec.make_config(1, 1, conv1_kernel_size=3, normalize_feature=False,
                            D=6)
     params, state = spec.init(jax.random.PRNGKey(2), cfg)
