@@ -132,6 +132,9 @@ tpu_arg.add_argument("--num_devices", type=int, default=0,
                      help="data-parallel devices for training (0 = all visible)")
 tpu_arg.add_argument("--fold_bn", type=str2bool, default=True,
                      help="fold inference BatchNorm into conv weights at load")
+tpu_arg.add_argument("--remat", type=str2bool, default=False,
+                     help="rematerialize the inlier net in backward (memory "
+                          "for one extra forward; jax.checkpoint)")
 tpu_arg.add_argument("--bf16", type=str2bool, default=False,
                      help="bf16 conv compute (f32 accumulate + f32 matching/"
                           "solvers) — the MXU-native inference path")

@@ -176,8 +176,15 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
                 int(getattr(config, "level_shrink_6d", 1)))
         else:
             plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
-        logits, new_state = inlier_spec.apply(inlier_params, inlier_state, inlier_cfg,
-                                              plan6, ifeats, train=True)
+        apply_fn = inlier_spec.apply
+        if getattr(config, "remat", False):
+            # trade backward-pass memory for one forward recompute
+            # (jax.checkpoint over the whole inlier net); the frozen FCGF
+            # needs no remat — stop_gradient already discards its tape
+            apply_fn = jax.checkpoint(inlier_spec.apply,
+                                      static_argnums=(2, 5))
+        logits, new_state = apply_fn(inlier_params, inlier_state, inlier_cfg,
+                                     plan6, ifeats, True)
         logits = logits[..., 0]  # [B, N]
         valid = jnp.arange(n, dtype=jnp.int32)[None, :] < batch.num0[:, None]
 

@@ -175,3 +175,26 @@ def test_train_step_inlier_knn2(rng):
     pos = np.asarray(batch.pos_pairs)[b0, : int(batch.pos_num[b0])]
     expect = find_correct_correspondence_np(pos, pred)
     np.testing.assert_array_equal(np.asarray(is_corr)[b0, :n_exp], expect)
+
+
+@pytest.mark.slow
+def test_remat_matches_plain_grads(rng):
+    """--remat (jax.checkpoint over the inlier net) must not change the loss
+    or gradients — only the backward-pass memory schedule."""
+    base = dict(feat_model="ResUNetBN2F", feat_model_n_out=8,
+                inlier_model="ResUNetBN2FX")
+    batch = dp.synthetic_pair_batch(rng, b=2, n=160, p=48)
+    outs = []
+    for remat in (False, True):
+        config = default_config(remat=remat, **base)
+        fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, fp, fs, ip, is_ = _setup(config)
+        optimizer = ts.make_optimizer("SGD", 1.0, config)
+        _, loss_fn = ts.make_train_step(fcgf_spec, fcgf_cfg, inlier_spec,
+                                        inlier_cfg, config, optimizer)
+        (loss, _), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
+            ip, is_, fp, fs, batch)
+        outs.append((float(loss), jax.tree.leaves(grads)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-5)
+    for a, b in zip(outs[0][1], outs[1][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
