@@ -369,8 +369,8 @@ class DeepGlobalRegistration:
         Returns [B, 4, 4] transforms. Pads the batch to the device count when
         sharded.
         """
-        clouds0 = [self.preprocess(x) for x in xyz0_list]
-        clouds1 = [self.preprocess(x) for x in xyz1_list]
+        clouds0 = [self._as_array(x) for x in xyz0_list]
+        clouds1 = [self._as_array(x) for x in xyz1_list]
         b = len(clouds0)
         cap = _bucket_for(max(max(len(c) for c in clouds0),
                               max(len(c) for c in clouds1)), self.buckets)
@@ -406,11 +406,127 @@ class DeepGlobalRegistration:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
-    def preprocess(self, pcd) -> np.ndarray:
+    def _as_array(self, pcd) -> np.ndarray:
         """Accept numpy arrays (or objects exposing .points) as raw clouds."""
         if hasattr(pcd, "points"):
             return np.asarray(pcd.points, dtype=np.float32)
         return np.asarray(pcd, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    # staged public API (reference deep_global_registration.py:134-236) —
+    # numpy in/out convenience wrappers around the jitted stages; register()
+    # composes fused versions of the same computations.
+    # ------------------------------------------------------------------
+    def preprocess(self, pcd):
+        """Stage 0 (ref :134-161): voxelize a raw cloud. Returns
+        (xyz [M, 3] f32 one point per voxel, coords [M, 3] int32 voxel
+        coordinates, feats [M, 1] dummy ones) as numpy arrays."""
+        xyz = self._as_array(pcd)
+        cap = _bucket_for(len(xyz), self.buckets)
+        pair = jnp.asarray(np.stack([_pad_cloud(xyz, cap)] * 2))
+        nums = jnp.asarray([len(xyz), len(xyz)], np.int32)
+        xyz_sel, grids = self._quantize(pair, nums)
+        m = int(grids.num[0])
+        return (np.asarray(xyz_sel[0][:m]), np.asarray(grids.coords[0][:m]),
+                np.ones((m, 1), np.float32))
+
+    def fcgf_feature_extraction(self, feats, coords) -> np.ndarray:
+        """Stage 1 (ref :163-169): FCGF features for voxel coords [M, 3].
+        ``feats`` is accepted for signature parity (the net consumes ones)."""
+        coords = np.asarray(coords, np.int32)
+        cap = _bucket_for(len(coords), self.buckets)
+        cpad = np.full((1, cap, 3), 32766, np.int32)
+        cpad[0, : len(coords)] = coords
+        grids = Grid(coords=jnp.asarray(cpad),
+                     num=jnp.asarray([len(coords)], np.int32))
+        out, _ = self._features(self.fcgf_params, self.fcgf_state, grids,
+                                grids.num)
+        return np.asarray(out[0][: len(coords)])
+
+    def fcgf_feature_matching(self, feats0, feats1):
+        """Stage 2 (ref :171-183): 1-NN feature correspondences. Returns
+        (corres_idx0 arange, corres_idx1 nearest index) as numpy int arrays."""
+        f0, f1 = np.asarray(feats0, np.float32), np.asarray(feats1, np.float32)
+        cap0 = _bucket_for(len(f0), self.buckets)
+        cap1 = _bucket_for(len(f1), self.buckets)
+        idx1, _ = knn.find_nn(
+            jnp.asarray(np.pad(f0, ((0, cap0 - len(f0)), (0, 0)))),
+            jnp.asarray(np.pad(f1, ((0, cap1 - len(f1)), (0, 0)))),
+            jnp.int32(len(f0)), jnp.int32(len(f1)))
+        return np.arange(len(f0), dtype=np.int64), np.asarray(idx1[: len(f0)])
+
+    def inlier_feature_generation(self, xyz0, xyz1, coords0, coords1,
+                                  fcgf_feats0, fcgf_feats1,
+                                  corres_idx0, corres_idx1) -> np.ndarray:
+        """Stage 3 (ref :185-208): assemble the 6D net's input features."""
+        i0 = np.asarray(corres_idx0)
+        i1 = np.asarray(corres_idx1)
+        if self.inlier_feature_type == "ones":
+            return np.ones((len(i0), 1), np.float32)
+        if self.inlier_feature_type == "feats":
+            return np.concatenate([np.asarray(fcgf_feats0)[i0],
+                                   np.asarray(fcgf_feats1)[i1]], axis=1)
+        if self.inlier_feature_type == "coords":
+            return np.concatenate([np.cos(np.asarray(xyz0)[i0]),
+                                   np.cos(np.asarray(xyz1)[i1])],
+                                  axis=1).astype(np.float32)
+        raise TypeError(f"undefined inlier feature type {self.inlier_feature_type}")
+
+    def inlier_prediction(self, inlier_feats, coords) -> np.ndarray:
+        """Stage 4 (ref :210-217): inlier logits for 6D coords [M, 6]."""
+        coords = np.asarray(coords, np.int32)
+        m = len(coords)
+        cap = _bucket_for(m, self.buckets)
+        cpad = np.full((cap, 6), 32766, np.int32)
+        cpad[:m] = coords
+        fpad = np.zeros((cap, inlier_feats.shape[1]), np.float32)
+        fpad[:m] = np.asarray(inlier_feats, np.float32)
+
+        @jax.jit
+        def run(params, state, c, f, num):
+            grid6 = Grid(coords=c, num=num)
+            plan = jax.vmap(self.inlier_spec.build_plan, in_axes=(0, None, None))(
+                jax.tree.map(lambda x: x[None], grid6), self.inlier_cfg,
+                self.level_shrink_6d)
+            logits, _ = self.inlier_spec.apply(params, state, self.inlier_cfg,
+                                               plan, f[None], train=False)
+            return logits[0]
+
+        out = run(self.inlier_params, self.inlier_state, jnp.asarray(cpad),
+                  jnp.asarray(fpad), jnp.int32(m))
+        return np.asarray(out[:m])
+
+    def safeguard_registration(self, pcd0, pcd1, idx0, idx1, feats0, feats1,
+                               distance_threshold, num_iterations) -> np.ndarray:
+        """Safeguard RANSAC (ref :219-236). num_iterations plays the role of
+        the parallel hypothesis budget. Returns a 4x4 transform."""
+        xyz0 = self._as_array(pcd0)
+        xyz1 = self._as_array(pcd1)
+        cap = _bucket_for(max(len(xyz0), len(xyz1)), self.buckets)
+        self._rng, key = jax.random.split(self._rng)
+        h = int(min(max(num_iterations, 1024), 65536))
+        if self.safeguard_method == "correspondence":
+            x = _pad_cloud(xyz0[np.asarray(idx0)], cap)
+            y = _pad_cloud(xyz1[np.asarray(idx1)], cap)
+            res = jax.jit(ransac.ransac_correspondence, static_argnames=(
+                "distance_threshold", "num_hypotheses"))(
+                key, jnp.asarray(x), jnp.asarray(y), jnp.int32(len(idx0)),
+                distance_threshold=float(distance_threshold), num_hypotheses=h)
+        else:
+            f0 = np.zeros((cap, np.asarray(feats0).shape[1]), np.float32)
+            f0[: len(feats0)] = feats0
+            f1 = np.zeros_like(f0)
+            f1[: len(feats1)] = feats1
+            res = jax.jit(ransac.ransac_feature_matching, static_argnames=(
+                "distance_threshold", "num_hypotheses"))(
+                key, jnp.asarray(_pad_cloud(xyz0, cap)),
+                jnp.asarray(_pad_cloud(xyz1, cap)), jnp.asarray(f0),
+                jnp.asarray(f1), jnp.int32(len(xyz0)), jnp.int32(len(xyz1)),
+                distance_threshold=float(distance_threshold), num_hypotheses=h)
+        T = np.eye(4)
+        T[:3, :3] = np.asarray(res.R)
+        T[:3, 3] = np.asarray(res.t)
+        return T
 
     def register(self, xyz0, xyz1, inlier_thr: float = 0.00) -> np.ndarray:
         """Register xyz0 onto xyz1; returns the 4x4 transform as numpy.
@@ -419,8 +535,8 @@ class DeepGlobalRegistration:
         safeguard gate (wsum >= max(200, 0.05 * N)) and the final ICP polish.
         """
         self.reg_timer.tic()
-        xyz0 = self.preprocess(xyz0)
-        xyz1 = self.preprocess(xyz1)
+        xyz0 = self._as_array(xyz0)
+        xyz1 = self._as_array(xyz1)
 
         raw_cap = _bucket_for(max(len(xyz0), len(xyz1)), self.buckets)
         xyz_pair = jnp.asarray(np.stack([_pad_cloud(xyz0, raw_cap),

@@ -151,3 +151,39 @@ def test_register_bf16_compute(rng):
     T = dgr_bf16.register(xyz, xyz + t)
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
     np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
+
+
+def test_staged_public_api_composes(rng, dgr):
+    """The reference's staged methods (preprocess -> fcgf_feature_extraction
+    -> fcgf_feature_matching -> inlier_feature_generation -> inlier_prediction
+    -> safeguard_registration; deep_global_registration.py:134-236) must work
+    standalone and compose into a sane registration."""
+    xyz0 = _cloud(rng, 350)
+    t = np.array([8, 8, 8], np.float32) * dgr.voxel_size
+    xyz1 = xyz0 + t
+
+    x0, c0, f0 = dgr.preprocess(xyz0)
+    x1, c1, f1 = dgr.preprocess(xyz1)
+    assert x0.shape == (len(c0), 3) and f0.shape == (len(c0), 1)
+
+    feats0 = dgr.fcgf_feature_extraction(f0, c0)
+    feats1 = dgr.fcgf_feature_extraction(f1, c1)
+    assert feats0.shape == (len(c0), 8)
+
+    i0, i1 = dgr.fcgf_feature_matching(feats0, feats1)
+    # translation-equivariant features: matches recover the shifted voxels
+    np.testing.assert_array_equal(c1[i1], c0 + np.array([8, 8, 8], np.int32))
+
+    ifeat = dgr.inlier_feature_generation(x0, x1, c0, c1, feats0, feats1,
+                                          i0, i1)
+    assert ifeat.shape == (len(i0), 1)
+    coords6 = np.concatenate([c0[i0], c1[i1]], axis=1)
+    logits = dgr.inlier_prediction(ifeat, coords6)
+    assert logits.shape == (len(i0), 1) and np.isfinite(logits).all()
+
+    # the reference passes the VOXELIZED clouds here (register(), :302-315)
+    T = dgr.safeguard_registration(x0, x1, i0, i1, feats0, feats1,
+                                   distance_threshold=2 * dgr.voxel_size,
+                                   num_iterations=2048)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
+    np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
