@@ -53,15 +53,15 @@ def _nn_kernel(num1_ref, f0_ref, f1_ref, d_ref, i_ref):
 
     @pl.when(j == 0)
     def _():
-        d_ref[0, :] = local_d
-        i_ref[0, :] = local_i
+        d_ref[0, 0, :] = local_d
+        i_ref[0, 0, :] = local_i
 
     @pl.when(j > 0)
     def _():
-        best_d = d_ref[0, :]
+        best_d = d_ref[0, 0, :]
         take = local_d < best_d
-        d_ref[0, :] = jnp.where(take, local_d, best_d)
-        i_ref[0, :] = jnp.where(take, local_i, i_ref[0, :])
+        d_ref[0, 0, :] = jnp.where(take, local_d, best_d)
+        i_ref[0, 0, :] = jnp.where(take, local_i, i_ref[0, 0, :])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -95,21 +95,25 @@ def find_nn_pallas(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray,
             pl.BlockSpec((_TC, cp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # Mosaic requires output block sublane dims divisible by 8 (or equal
+        # to the array dim); a natural (1, TQ) per-query-tile block violates
+        # that whenever grid[0] > 1, so the result row is carried in a rank-3
+        # (1, 8, TQ) block — row 0 holds the data, rows 1-7 are sublane pad.
         out_specs=[
-            pl.BlockSpec((1, _TQ), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, _TQ), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TQ), lambda i, j: (i, 0),
+            pl.BlockSpec((1, 8, _TQ), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid[0], _TQ), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], _TQ), jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 8, _TQ), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 8, _TQ), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray([num1], jnp.int32), f0, f1)
 
-    d = d.reshape(n0p)[:n0]
-    idx = idx.reshape(n0p)[:n0]
+    d = d[:, 0, :].reshape(n0p)[:n0]
+    idx = idx[:, 0, :].reshape(n0p)[:n0]
     q_valid = jnp.arange(n0, dtype=jnp.int32) < num0
     # exact scan-path parity: no valid candidate -> (0, +inf)
     matched = d < _BIG
