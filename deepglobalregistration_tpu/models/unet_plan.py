@@ -117,6 +117,9 @@ EDGE_CONV_6D = True
 # c0-offset); deeper/strided levels use this cap with the overflow flag.
 _D_CAP_6D = 64
 _EDGE_TILE = 128
+# Members per distinct strided c0 in the deeper-level multimaps
+# (ops/paired_kernel_map.PairMultiMap); beyond-cap rows drop with overflow.
+_B_CAP_6D = 16
 
 
 def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
@@ -180,14 +183,16 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
     for level in range(1, n_levels):
         cap = max(grid0.capacity // (level_shrink ** level), 128)
         grids.append(sparse_grid.stride_down(grids[-1], 2 ** level, out_capacity=cap))
-    # The level-0 6D hash table is still needed for the first down map; deeper
-    # levels use hash tables for everything.
-    tables = [hashing.build_table(g.coords, g.num) for g in grids]
 
     if EDGE_CONV_6D:
-        # Slot-form level-0 maps straight into edge form: no dense [729, N]
-        # buffer, no per-row compaction sort (ops/paired_kernel_map.py).
+        # No 6D hash tables at all: level 0 uses the unique-c0 slot builder;
+        # every deeper map comes from a per-level 3D-keyed multimap (27 3D
+        # probes + in-row candidate verification instead of 729 6D probes —
+        # the round-2 hardware trace's dominant cost). Up maps come from the
+        # down edge sets (in/out swap) — no dense transpose builds.
         from ..ops import edge_conv as ec
+
+        overflow = jnp.asarray(False)
 
         sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num, offs1)
         conv1_kmap = ec.SizedEdgeMap(
@@ -203,46 +208,60 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
                                              tile=_EDGE_TILE),
                 grid0.capacity)
-    else:
-        conv1_kmap = paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs1)
-        self0 = conv1_kmap if conv1_kernel_size == 3 else \
-            paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs3)
-    self_kmaps = (self0,) + tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
-        for i in range(1, n_levels))
-    down_kmaps = tuple(
-        kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
-        for i in range(n_levels - 1))
-    overflow = tables[0].overflow
-    for t in tables[1:]:
-        overflow = jnp.logical_or(overflow, t.overflow)
-    # Edge compaction for the deeper (generic) maps; level 0 is already in
-    # edge form via the slot-form paired builder above, and up maps come from
-    # the down edge sets (in/out swap) — no dense transpose builds at all.
-    if EDGE_CONV_6D:
-        from ..ops import edge_conv as ec
 
-        def edg(km, out_grid):
-            nonlocal overflow
-            em = ec.build_edge_map(km, d_cap=_D_CAP_6D, tile=_EDGE_TILE)
+        # Group-size bound: exactly 8^level rows can share a strided c0
+        # (level-0 c0 is unique), capped by the same _D_CAP_6D philosophy
+        # (beyond-cap edges drop with the overflow flag raised).
+        def b_slots(level):
+            return int(min(8 ** level, _B_CAP_6D)) if level else 2
+
+        mms = []
+        for i, g in enumerate(grids):
+            mm = paired_kernel_map.build_multimap(
+                g.coords[:, :3], g.coords[:, 3:], g.num, b_slots(i))
+            overflow = jnp.logical_or(overflow, mm.overflow)
+            mms.append(mm)
+
+        selfs = [self0]
+        for i in range(1, n_levels):
+            sk, si = paired_kernel_map.edge_slots_from_multimap(
+                mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
+                grids[i].num, offs3, unit=2 ** i)
+            em = ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
+                                              tile=_EDGE_TILE, d_cap=_D_CAP_6D)
             overflow = jnp.logical_or(overflow, em.overflow)
-            return ec.SizedEdgeMap(em, out_grid.capacity)
+            selfs.append(ec.SizedEdgeMap(em, grids[i].capacity))
+        self_kmaps = tuple(selfs)
 
-        self_kmaps = self_kmaps[:1] + tuple(
-            edg(self_kmaps[i], grids[i]) for i in range(1, n_levels))
         downs, ups = [], []
         for i in range(n_levels - 1):
-            dn, up = ec.build_edge_maps_down_up(down_kmaps[i], d_cap=_D_CAP_6D,
-                                                tile=_EDGE_TILE)
+            sk, si = paired_kernel_map.edge_slots_from_multimap(
+                mms[i], grids[i + 1].coords[:, :3], grids[i + 1].coords[:, 3:],
+                grids[i + 1].num, offs3, unit=2 ** i)
+            dn, up = ec.build_edge_maps_down_up_from_slots(
+                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=_D_CAP_6D)
             overflow = jnp.logical_or(overflow, dn.overflow)
             downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
             ups.append(ec.SizedEdgeMap(up, grids[i].capacity))
         down_kmaps, up_kmaps = tuple(downs), tuple(ups)
     else:
+        tables = [hashing.build_table(g.coords, g.num) for g in grids]
+        conv1_kmap = paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs1)
+        self0 = conv1_kmap if conv1_kernel_size == 3 else \
+            paired_kernel_map.build_kernel_map_paired(c0, c1, num, offs3)
+        self_kmaps = (self0,) + tuple(
+            kernel_map.build_kernel_map(tables[i], grids[i], offs3, unit=2 ** i)
+            for i in range(1, n_levels))
+        down_kmaps = tuple(
+            kernel_map.build_kernel_map(tables[i], grids[i + 1], offs3, unit=2 ** i)
+            for i in range(n_levels - 1))
         up_kmaps = tuple(
             kernel_map.build_kernel_map(tables[i + 1], grids[i], offs3,
                                         unit=2 ** i, transpose=True)
             for i in range(n_levels - 1))
+        overflow = tables[0].overflow
+        for t in tables[1:]:
+            overflow = jnp.logical_or(overflow, t.overflow)
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, overflow=overflow)

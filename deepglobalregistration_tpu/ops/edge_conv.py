@@ -115,19 +115,76 @@ def _compact_edges(kmap: jnp.ndarray, d_cap: int, tile: int):
             k_total, tile, overflow)
 
 
+def _compact_slot_edges(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
+                        k_total: int, d_cap: int):
+    """Compact slot-form maps [S, M] to d_cap edges per output row (cumsum-
+    ranked scatter, same as _compact_edges); returns flat edge triples."""
+    s, m = slot_k.shape
+    kt = slot_k.T  # [M, S]
+    it = slot_in.T
+    valid = (kt >= 0) & (it >= 0)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    overflow = jnp.any(jnp.sum(valid, axis=1) > d_cap)
+    rows = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
+    tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
+    edge_k = jnp.full((m, d_cap + 1), k_total, jnp.int32).at[rows, tgt].set(
+        jnp.where(valid, kt, k_total), mode="drop")[:, :d_cap]
+    edge_in = jnp.full((m, d_cap + 1), -1, jnp.int32).at[rows, tgt].set(
+        it, mode="drop")[:, :d_cap]
+    edge_k = jnp.where(edge_in >= 0, edge_k, k_total)
+    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
+                                (m, d_cap))
+    return (edge_k.reshape(-1), edge_in.reshape(-1), edge_out.reshape(-1),
+            overflow)
+
+
 def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
-                              k_total: int, tile: int = 128) -> EdgeMap:
+                              k_total: int, tile: int = 128,
+                              d_cap: int | None = None) -> EdgeMap:
     """Build the tile-blocked edge list from slot-form maps [S, M]: slot_k is
     the kernel-offset index per (slot, output row) and slot_in the input row
-    (-1 in either = no edge). Used by the paired 6D builder, which knows each
-    row's <= 27 candidate edges directly — no dense [K, M] map, no argsort."""
+    (-1 in either = no edge). Used by the paired/multimap 6D builders, which
+    know each row's candidate edges directly — no dense [K, M] map.
+
+    d_cap: compact to at most d_cap edges per output row first (multimap
+    slots are A*B wide and mostly empty; compaction keeps the edge sort at
+    M*d_cap elements). None or d_cap >= S skips compaction."""
     s, m = slot_k.shape
+    if d_cap is not None and d_cap < s:
+        edge_k, edge_in, edge_out, overflow = _compact_slot_edges(
+            slot_k, slot_in, k_total, d_cap)
+        return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile,
+                               overflow)
     valid = (slot_k >= 0) & (slot_in >= 0)
     edge_k = jnp.where(valid, slot_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (s, m))
     return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
                            edge_out.reshape(-1), k_total, tile,
                            jnp.asarray(False))
+
+
+def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
+                                       slot_in: jnp.ndarray, k_total: int,
+                                       tile: int = 128,
+                                       d_cap: int | None = None) -> tuple:
+    """(down, up) edge maps from slot-form maps of the strided DOWN conv
+    (outputs = coarse rows). The up map is the same edge set with input and
+    output exchanged (see build_edge_maps_down_up)."""
+    s, m = slot_k.shape
+    if d_cap is not None and d_cap < s:
+        edge_k, edge_in, edge_out, overflow = _compact_slot_edges(
+            slot_k, slot_in, k_total, d_cap)
+    else:
+        valid = (slot_k >= 0) & (slot_in >= 0)
+        edge_k = jnp.where(valid, slot_k, k_total).reshape(-1)
+        edge_in = slot_in.reshape(-1)
+        edge_out = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[None, :], (s, m)).reshape(-1)
+        overflow = jnp.asarray(False)
+    edge_in = jnp.where(edge_k < k_total, edge_in, -1)
+    down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile, overflow)
+    up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile, overflow)
+    return down, up
 
 
 def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,

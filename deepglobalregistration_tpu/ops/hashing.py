@@ -7,17 +7,21 @@ that is fully jittable under XLA's static-shape model and fast on TPU:
 
 - Integer coordinate rows are packed *exactly* (no collisions) into a tuple of
   uint32 "key words", 16 bits per coordinate field, lexicographically ordered.
-- A ``CoordTable`` is a **bucketed hash table in sorted-array form**: entries are
-  sorted by (murmur-mixed bucket id, key words); a dense ``starts`` array maps
-  each bucket to its contiguous slot range.
-- ``lookup`` is a **single parallel window probe**: each query hashes to its
-  bucket and compares against ``_PROBE`` consecutive slots in one vectorized
-  gather wave — no sequential binary-search rounds (a 17-round binary search
-  measured ~20x slower at kernel-map scale because every round is a dependent
-  gather). With ``buckets >= 8 * capacity`` the max bucket load exceeding the
-  probe window has negligible probability; the build records an ``overflow``
-  flag so callers can detect the (astronomically rare) violation instead of
-  silently missing entries.
+- A ``CoordTable`` is a **bucketed hash table in packed-row form**: each bucket
+  owns one contiguous row of ``_PROBE`` slots, each slot holding the key words
+  plus the original row index. A lookup gathers that ONE row and compares all
+  slots with vector ops.
+- Why packed rows: on this TPU, random scalar gathers run ~30x slower per
+  element than short contiguous row gathers (measured ~133M elements/s vs
+  ~500M rows/s for 32-byte rows — the per-row DMA setup dominates, not bytes).
+  The previous layout probed 8 slots x (W words + perm) as ~26 separate scalar
+  gathers per query and the 6D kernel-map builds spent ~17 s/pair in them;
+  one packed-row gather per query removes ~96% of that. (A 17-round binary
+  search is worse still: every round is a *dependent* gather.) With
+  ``buckets >= 4 * capacity`` the probability of any bucket exceeding the
+  probe window is negligible; the build records an ``overflow`` flag so
+  callers can detect the (astronomically rare) violation instead of silently
+  missing entries.
 - ``unique_rows`` dedups coordinate rows (voxel quantization) via sort + boundary
   detection + cumsum compaction, selecting the *smallest original index* as the
   representative of each voxel (deterministic; ME picks an arbitrary one).
@@ -48,11 +52,13 @@ _FIELD_MAX = (1 << 16) - 2
 # on the tunneled platform a dead relay makes backend init hang for minutes.
 _PAD_WORD = np.uint32(0xFFFFFFFF)
 
-# Window-probe width and bucket over-provisioning factor. With B = 8N buckets,
-# P(max load > 8) is ~1e-9 even at N = 2^20 for a well-mixed hash.
+# Bucket capacity (slots per packed row) and bucket over-provisioning factor.
+# With B = 4N buckets (load 0.25/bucket), P(any bucket load > 8) is ~4e-6 even
+# at N = 2^17 for a well-mixed hash; the packed-entry table is then
+# B * _PROBE * (W+1) uint32 = 64 MB at the largest bucket/6D sizes.
 _PROBE = 8
-_BUCKET_FACTOR = 8
-_MAX_BUCKETS = 1 << 21
+_BUCKET_FACTOR = 4
+_MAX_BUCKETS = 1 << 20
 
 
 def num_words(d: int) -> int:
@@ -125,20 +131,17 @@ def _num_buckets(capacity: int) -> int:
 
 
 class CoordTable(NamedTuple):
-    """Bucketed hash table over a coordinate set, in sorted-array form.
+    """Bucketed hash table over a coordinate set, in packed-row form.
 
-    words:    tuple of W uint32 arrays [N] — keys sorted by (bucket, key words);
-              padded rows hold the all-ones pad key and sort last.
-    perm:     int32 [N] — original row index of each sorted entry.
-    starts:   int32 [B + 1] — slot range of each bucket (B static, power of 2).
-    overflow: bool scalar — True if any bucket holds more than the probe window
+    entries:  uint32 [B, _PROBE, W + 1] — per bucket, _PROBE slots of
+              (W key words, original row index). Empty slots hold the all-ones
+              pad key in every word column, which no valid query can match.
+    overflow: bool scalar — True if any bucket holds more than _PROBE entries
               (lookups could then miss; callers should surface this).
     num:      int32 scalar — number of valid rows.
     """
 
-    words: Tuple[jnp.ndarray, ...]
-    perm: jnp.ndarray
-    starts: jnp.ndarray
+    entries: jnp.ndarray
     overflow: jnp.ndarray
     num: jnp.ndarray
 
@@ -149,44 +152,55 @@ def build_table(coords: jnp.ndarray, num: jnp.ndarray) -> CoordTable:
     b = _num_buckets(n)
     valid = jnp.arange(n, dtype=jnp.int32) < num
     words = pack_rows(coords, valid)
+    w = len(words)
     bucket = (_mix(words) & jnp.uint32(b - 1)).astype(jnp.int32)
     bucket = jnp.where(valid, bucket, b)  # padding sorts after every real bucket
     idx = jnp.arange(n, dtype=jnp.int32)
     # Same defensive pattern as unique_rows: consume only the sort's permutation
     # output and gather the rest (see XLA:TPU miscompilation note there).
-    sorted_ops = jax.lax.sort((bucket,) + tuple(words) + (idx,), num_keys=len(words) + 2)
+    sorted_ops = jax.lax.sort((bucket,) + tuple(words) + (idx,), num_keys=w + 2)
     s_perm = sorted_ops[-1]
     s_bucket = bucket[s_perm]
-    s_words = tuple(w[s_perm] for w in words)
+    s_words = tuple(ww[s_perm] for ww in words)
 
     counts = jnp.zeros((b + 1,), jnp.int32).at[s_bucket].add(1, mode="drop")
     starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:b])])
     overflow = jnp.max(counts[:b]) > _PROBE
-    return CoordTable(words=s_words, perm=s_perm, starts=starts, overflow=overflow, num=num)
+    # Scatter the sorted entries into their (bucket, position) slots of the
+    # packed-row table; rows past the probe window (overflow) and padding rows
+    # drop out of range.
+    pos = idx - starts[jnp.minimum(s_bucket, b)]
+    ok = (s_bucket < b) & (pos >= 0) & (pos < _PROBE)
+    slot = jnp.where(ok, s_bucket * _PROBE + pos, b * _PROBE)
+    payload = jnp.stack(s_words + (s_perm.astype(jnp.uint32),), axis=-1)
+    entries = jnp.full((b * _PROBE + 1, w + 1), _PAD_WORD, dtype=jnp.uint32)
+    entries = entries.at[slot].set(payload, mode="drop")
+    entries = entries[: b * _PROBE].reshape(b, _PROBE, w + 1)
+    return CoordTable(entries=entries, overflow=overflow, num=num)
 
 
 def lookup_words(table: CoordTable, qwords: Tuple[jnp.ndarray, ...],
                  query_valid: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Window-probe lookup of pre-packed query keys (any common shape S).
+    """Packed-row lookup of pre-packed query keys (any common shape S).
 
-    Returns original row indices (-1 if absent), shape S. The probe axis leads
-    ([P, *S]) so the long query axis stays in the vector lanes (see pack_cols).
+    Returns original row indices (-1 if absent), shape S. One row gather per
+    query fetches the whole bucket (all probe slots + row indices); the slot
+    compare is pure vector work (see the module docstring's layout note).
     """
-    n = table.words[0].shape[0]
-    b = table.starts.shape[0] - 1
+    b, _, wp1 = table.entries.shape
+    w = wp1 - 1
     bucket = (_mix(qwords) & jnp.uint32(b - 1)).astype(jnp.int32)
-    lo = table.starts[bucket]  # S
-    probe = jnp.arange(_PROBE, dtype=jnp.int32).reshape((_PROBE,) + (1,) * lo.ndim)
-    slots = jnp.minimum(lo[None] + probe, n - 1)  # [P, *S]
-    eq = _lex_eq(tuple(w[slots] for w in table.words),
-                 tuple(w[None] for w in qwords))  # [P, *S]
-    # Valid queries never pack to the pad key, and pad table rows hold the pad
-    # key, so equality alone rejects both padding directions.
+    rows = table.entries[bucket]  # [*S, P, W+1] — the single gather
+    eq = jnp.ones(rows.shape[:-1], dtype=bool)
+    for i in range(w):
+        # Valid queries never pack to the pad key, and empty slots hold the
+        # pad key, so equality alone rejects both padding directions.
+        eq = eq & (rows[..., i] == qwords[i][..., None])
     if query_valid is not None:
-        eq = eq & query_valid[None]
-    found = jnp.any(eq, axis=0)
-    pos = jnp.max(jnp.where(eq, slots, 0), axis=0)  # the (unique) matching slot
-    return jnp.where(found, table.perm[pos], -1).astype(jnp.int32)
+        eq = eq & query_valid[..., None]
+    perm = rows[..., w].astype(jnp.int32)
+    # At most one slot matches (keys are unique); absent/invalid -> -1.
+    return jnp.max(jnp.where(eq, perm, -1), axis=-1)
 
 
 def lookup_cols(table: CoordTable, query_cols: Sequence[jnp.ndarray],

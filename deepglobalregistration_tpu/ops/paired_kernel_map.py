@@ -11,14 +11,24 @@ cheap comparison of c1_j against the 27 c1 offsets. That turns 729 x N 6D
 hash probes into 27 x N 3D lookups + 729 x N vector compares: ~27x less
 lookup traffic for the single biggest kernel map in the pipeline.
 
-Deeper pyramid levels lose the uniqueness property after striding and fall
-back to the generic 6D hash tables (models/unet_plan.py).
+Deeper pyramid levels lose the uniqueness property after striding — but only
+boundedly: after one stride-2, at most 8 level-0 rows (the 2^3 c0 sub-voxels,
+each with a unique c1) can share a strided c0. ``PairMultiMap`` generalizes
+the trick to multiplicity B: a 3D table over the *distinct* c0 values plus a
+packed member matrix [*, B] holding each group's rows WITH their packed c1
+and row index, so one row gather per (3D offset, output row) retrieves every
+candidate and verifies second halves without further memory traffic. That
+replaces the deeper levels' 729-offset 6D hash probes (the round-2 hardware
+trace's dominant cost) with 27 3D probes.
 """
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import hashing
@@ -78,16 +88,8 @@ def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     assert d == 6
     n = c0.shape[0]
     offs = np.asarray(offsets) * unit
-    off0, inv0 = np.unique(offs[:, :3], axis=0, return_inverse=True)
+    off0, lo1, box, tab = _split_offset_tables(offs, unit)
     k0n = len(off0)
-
-    # static (a, boxed d1) -> canonical offset index table
-    lo1 = offs[:, 3:].min(axis=0)
-    box = (offs[:, 3:].max(axis=0) - lo1) // unit + 1
-    tab = np.full((k0n, int(box[0] * box[1] * box[2])), -1, np.int32)
-    for kk in range(k):
-        p = (offs[kk, 3:] - lo1) // unit
-        tab[inv0[kk], int(p[0] + box[0] * (p[1] + box[1] * p[2]))] = kk
 
     table0 = hashing.build_table(c0, num)
     valid = jnp.arange(n, dtype=jnp.int32) < num
@@ -111,4 +113,127 @@ def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     slot_k = jnp.where(in_box,
                        jnp.asarray(tab)[jnp.arange(k0n)[:, None], pidx], -1)
     slot_in = jnp.where(slot_k >= 0, cand, -1)
+    return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32)
+
+
+def _split_offset_tables(offs: np.ndarray, unit: int):
+    """Static tables splitting pre-scaled [K, 6] offsets by their 3D halves.
+
+    Returns (off0 [A, 3] distinct first-half offsets, lo1 [3] second-half
+    minimum, box [3] second-half extent in units, tab [A, prod(box)] mapping
+    (first-half index, boxed second-half displacement) -> canonical offset
+    index k, -1 where no offset exists)."""
+    k = offs.shape[0]
+    off0, inv0 = np.unique(offs[:, :3], axis=0, return_inverse=True)
+    lo1 = offs[:, 3:].min(axis=0)
+    box = (offs[:, 3:].max(axis=0) - lo1) // unit + 1
+    tab = np.full((len(off0), int(box[0] * box[1] * box[2])), -1, np.int32)
+    for kk in range(k):
+        p = (offs[kk, 3:] - lo1) // unit
+        tab[inv0[kk], int(p[0] + box[0] * (p[1] + box[1] * p[2]))] = kk
+    return off0, lo1, box, tab
+
+
+class PairMultiMap(NamedTuple):
+    """3D-keyed bounded multimap over a 6D correspondence grid's rows.
+
+    table:    hash table over the DISTINCT first-half (c0) coordinates.
+    members:  uint32 [N, B, 3] — for distinct-c0 group g (indexed by the
+              representative's original row, as returned by table lookups),
+              up to B member rows, each (c1 word0, c1 word1, row index).
+              Empty slots hold the all-ones pad word.
+    overflow: bool — some c0 group has more than B rows (edges dropped).
+    """
+
+    table: hashing.CoordTable
+    members: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
+                   b_slots: int) -> PairMultiMap:
+    """Group the rows of a 6D correspondence grid by their 3D c0 value.
+
+    One stride-2 of a level with unique c0 yields groups of <= 8, so b_slots
+    = 8 is exact at level 1; deeper levels use a configured cap with the
+    overflow flag (the edge-conv d_cap would bound per-row degree anyway)."""
+    n = c0.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    valid = iota < num
+    u_coords, u_num, _ = hashing.unique_rows(c0, num)
+    table = hashing.build_table(u_coords, u_num)
+    # Group id := position of the row's c0 among the distinct values. Every
+    # valid row's c0 is present by construction, so g >= 0 for valid rows.
+    g = hashing.lookup(table, c0, query_valid=valid)
+    gq = jnp.where(valid, g, n)
+    # Rank rows within their group by original index (deterministic member
+    # order). Consume only the sort's permutation output (see unique_rows).
+    s_idx = jax.lax.sort((gq, iota), num_keys=2)[-1]
+    s_g = gq[s_idx]
+    counts = jnp.zeros((n + 1,), jnp.int32).at[s_g].add(1, mode="drop")
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts[:n])])
+    pos = iota - starts[jnp.minimum(s_g, n)]
+    ok = (s_g < n) & (pos >= 0) & (pos < b_slots)
+    slot = jnp.where(ok, s_g * b_slots + pos, n * b_slots)
+    c1w = hashing.pack_rows(c1, valid)
+    payload = jnp.stack([c1w[0][s_idx], c1w[1][s_idx],
+                         s_idx.astype(jnp.uint32)], axis=-1)
+    members = jnp.full((n * b_slots + 1, 3), hashing._PAD_WORD, jnp.uint32)
+    members = members.at[slot].set(payload, mode="drop")
+    members = members[: n * b_slots].reshape(n, b_slots, 3)
+    overflow = (jnp.max(counts[:n]) > b_slots) | table.overflow
+    return PairMultiMap(table=table, members=members, overflow=overflow)
+
+
+def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
+                             c1_out: jnp.ndarray, num_out: jnp.ndarray,
+                             offsets: np.ndarray, unit: int):
+    """Slot-form edges (slot_k, slot_in), each [A*B, M], of the kernel map
+    whose INPUT rows are the multimap's grid and whose OUTPUT rows are the
+    (c0_out, c1_out) grid: input i is reachable from output j under offset k
+    when coords_in_i = coords_out_j + offsets[k] * unit.
+
+    Per (distinct first-half offset a, output row j): one 3D table probe finds
+    the input c0 group, one member-row gather retrieves <= B candidates with
+    their packed c1, and the kernel-offset index comes from the static
+    (a, boxed second-half displacement) table. Feed the result to
+    ops/edge_conv.build_edge_map_from_slots / build_edge_maps_down_up_from_slots.
+    """
+    offs = np.asarray(offsets) * unit
+    off0, lo1, box, tab = _split_offset_tables(offs, unit)
+    a_n = len(off0)
+    b_slots = mm.members.shape[1]
+    m = c0_out.shape[0]
+    validq = jnp.arange(m, dtype=jnp.int32) < num_out
+
+    qcols = tuple(c0_out[:, i][None, :] +
+                  jnp.asarray(off0[:, i], jnp.int32)[:, None] for i in range(3))
+    qv = jnp.broadcast_to(validq[None, :], (a_n, m))
+    g = hashing.lookup_cols(mm.table, qcols, query_valid=qv)  # [A, M]
+    rows = mm.members[jnp.maximum(g, 0)]  # [A, M, B, 3] — one row gather
+    w0 = rows[..., 0]
+    w1 = rows[..., 1]
+    ridx = rows[..., 2].astype(jnp.int32)
+    present = (g >= 0)[..., None] & (w0 != hashing._PAD_WORD)
+
+    # unpack the members' c1 fields (16-bit packed, see hashing.pack_cols)
+    f_off = hashing._FIELD_OFFSET
+    c1m = ((w0 >> 16).astype(jnp.int32) - f_off,
+           (w0 & jnp.uint32(0xFFFF)).astype(jnp.int32) - f_off,
+           (w1 >> 16).astype(jnp.int32) - f_off)
+    in_box = present
+    pidx = jnp.zeros_like(ridx)
+    mult = 1
+    for i in range(3):
+        di = c1m[i] - c1_out[:, i][None, :, None] - int(lo1[i])
+        qi, ri = di // unit, di % unit
+        in_box = in_box & (ri == 0) & (qi >= 0) & (qi < int(box[i]))
+        pidx = pidx + mult * jnp.clip(qi, 0, int(box[i]) - 1)
+        mult *= int(box[i])
+    a_idx = jnp.arange(a_n, dtype=jnp.int32)[:, None, None]
+    slot_k = jnp.where(in_box, jnp.asarray(tab)[a_idx, pidx], -1)  # [A, M, B]
+    slot_in = jnp.where(slot_k >= 0, ridx, -1)
+    slot_k = jnp.moveaxis(slot_k, -1, 1).reshape(a_n * b_slots, m)
+    slot_in = jnp.moveaxis(slot_in, -1, 1).reshape(a_n * b_slots, m)
     return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32)
