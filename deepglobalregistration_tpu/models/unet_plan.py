@@ -119,7 +119,10 @@ _D_CAP_6D = 64
 _EDGE_TILE = 128
 # Members per distinct strided c0 in the deeper-level multimaps
 # (ops/paired_kernel_map.PairMultiMap); beyond-cap rows drop with overflow.
-_B_CAP_6D = 16
+# Measured at 3DMatch scale (30k pts): B=16 overflows at levels 2-3 (6D
+# correspondence grids barely merge under striding), B=32 clears level 2;
+# level-3 residual drops are bounded by the edge-conv d_cap anyway.
+_B_CAP_6D = 32
 
 
 def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
@@ -222,13 +225,24 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             overflow = jnp.logical_or(overflow, mm.overflow)
             mms.append(mm)
 
+        # Per-level edge capacity: the tile sort/scatter work is proportional
+        # to M * d_cap, and measured degrees at 3DMatch scale are far below
+        # the global cap on shallow levels (self: max 7/19/89, down: 3/6/15
+        # at levels 1/2/3 on a dense synthetic scan; overflow flags guard).
+        def self_cap(level):
+            return min(_D_CAP_6D, 16 * 2 ** (level - 1))
+
+        def down_cap(level):
+            return min(_D_CAP_6D, 16 * 2 ** max(level - 1, 0))
+
         selfs = [self0]
         for i in range(1, n_levels):
             sk, si = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
                 grids[i].num, offs3, unit=2 ** i)
             em = ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
-                                              tile=_EDGE_TILE, d_cap=_D_CAP_6D)
+                                              tile=_EDGE_TILE,
+                                              d_cap=self_cap(i))
             overflow = jnp.logical_or(overflow, em.overflow)
             selfs.append(ec.SizedEdgeMap(em, grids[i].capacity))
         self_kmaps = tuple(selfs)
@@ -239,7 +253,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 mms[i], grids[i + 1].coords[:, :3], grids[i + 1].coords[:, 3:],
                 grids[i + 1].num, offs3, unit=2 ** i)
             dn, up = ec.build_edge_maps_down_up_from_slots(
-                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=_D_CAP_6D)
+                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i))
             overflow = jnp.logical_or(overflow, dn.overflow)
             downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
             ups.append(ec.SizedEdgeMap(up, grids[i].capacity))

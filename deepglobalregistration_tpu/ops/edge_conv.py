@@ -86,56 +86,58 @@ def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
     return down, up
 
 
-def _compact_edges(kmap: jnp.ndarray, d_cap: int, tile: int):
-    """Dense kmap [K, M] -> flat edge triples (k, in, out), invalid edges
-    carrying k = K; per-output-row degree capped at d_cap (overflow flag)."""
-    k_total, m = kmap.shape
-    d_cap = min(d_cap, k_total)
+def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
+                  valid: jnp.ndarray, k_total: int, d_cap: int):
+    """Per-row top-d_cap compaction of [M, S] (kernel-offset, input-row) value
+    pairs via a one-hot MATMUL over the cumsum rank.
 
-    # --- per-row compaction: cumsum-ranked scatter of the valid offsets -----
-    # (an argsort over [M, K] does the same in O(K log K); the running rank
-    # is O(K) and turns into one scan + one scatter wave)
-    kt = kmap.T  # [M, K]
-    valid = kt >= 0
-    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1  # rank among valid
-    degree = jnp.sum(valid, axis=1)
-    overflow = jnp.any(degree > d_cap)
-    rows = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
-    tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
-    ks = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 1)
-    slot_k = jnp.full((m, d_cap + 1), k_total, jnp.int32).at[rows, tgt].set(
-        ks, mode="drop")[:, :d_cap]
-    slot_in = jnp.full((m, d_cap + 1), -1, jnp.int32).at[rows, tgt].set(
-        kt, mode="drop")[:, :d_cap]
-
-    edge_k = jnp.where(slot_in >= 0, slot_k, k_total)
-    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
-                                (m, d_cap))
-    return (edge_k.reshape(-1), slot_in.reshape(-1), edge_out.reshape(-1),
-            k_total, tile, overflow)
-
-
-def _compact_slot_edges(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
-                        k_total: int, d_cap: int):
-    """Compact slot-form maps [S, M] to d_cap edges per output row (cumsum-
-    ranked scatter, same as _compact_edges); returns flat edge triples."""
-    s, m = slot_k.shape
-    kt = slot_k.T  # [M, S]
-    it = slot_in.T
-    valid = (kt >= 0) & (it >= 0)
+    A scatter into [M, d_cap] runs at this TPU's scalar scatter rate (~200M
+    updates/s — 65 ms per map at multimap scale); the same permutation as
+    einsum('ms,msd->md') against a rank one-hot rides the MXU and measured
+    ~15x faster. Exact: values are encoded +1 (0 = empty) and stay below
+    2^24, each output column receives at most one nonzero contribution (ranks
+    are unique per row), so f32 accumulation never rounds."""
+    m, s = kt_vals.shape
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     overflow = jnp.any(jnp.sum(valid, axis=1) > d_cap)
-    rows = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 0)
     tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
-    edge_k = jnp.full((m, d_cap + 1), k_total, jnp.int32).at[rows, tgt].set(
-        jnp.where(valid, kt, k_total), mode="drop")[:, :d_cap]
-    edge_in = jnp.full((m, d_cap + 1), -1, jnp.int32).at[rows, tgt].set(
-        it, mode="drop")[:, :d_cap]
+    onehot = jax.nn.one_hot(tgt, d_cap + 1, dtype=jnp.float32)  # [M, S, D+1]
+    vals = jnp.stack([
+        jnp.where(valid, kt_vals + 1, 0).astype(jnp.float32),
+        jnp.where(valid, it_vals + 1, 0).astype(jnp.float32),
+    ], axis=1)  # [M, 2, S]
+    packed = jnp.einsum("mcs,msd->mcd", vals, onehot)[..., :d_cap]
+    edge_k = jnp.where(packed[:, 0] > 0, packed[:, 0] - 1,
+                       k_total).astype(jnp.int32)
+    edge_in = (packed[:, 1] - 1).astype(jnp.int32)  # empty -> -1
     edge_k = jnp.where(edge_in >= 0, edge_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
                                 (m, d_cap))
     return (edge_k.reshape(-1), edge_in.reshape(-1), edge_out.reshape(-1),
             overflow)
+
+
+def _compact_edges(kmap: jnp.ndarray, d_cap: int, tile: int):
+    """Dense kmap [K, M] -> flat edge triples (k, in, out), invalid edges
+    carrying k = K; per-output-row degree capped at d_cap (overflow flag)."""
+    k_total, m = kmap.shape
+    d_cap = min(d_cap, k_total)
+    kt = kmap.T  # [M, K]
+    valid = kt >= 0
+    ks = jax.lax.broadcasted_iota(jnp.int32, kt.shape, 1)
+    edge_k, edge_in, edge_out, overflow = _rank_compact(
+        ks, kt, valid, k_total, d_cap)
+    return edge_k, edge_in, edge_out, k_total, tile, overflow
+
+
+def _compact_slot_edges(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
+                        k_total: int, d_cap: int):
+    """Compact slot-form maps [S, M] to d_cap edges per output row (see
+    _rank_compact); returns flat edge triples."""
+    kt = slot_k.T  # [M, S]
+    it = slot_in.T
+    valid = (kt >= 0) & (it >= 0)
+    return _rank_compact(kt, it, valid, k_total, d_cap)
 
 
 def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
@@ -213,12 +215,17 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
     n_tiles = e_pad // tile
     tile_in = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_in)
     tile_out = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_out)
-    # a tile's offset: scatter k at its tile slot (uniform within the tile);
-    # dummy-bin (k_total) and untouched tiles stay -1
-    real = edge_k < k_total
-    tile_k = jnp.full(n_tiles, -1, jnp.int32).at[
-        jnp.where(real, pos // tile, n_tiles - 1)].max(
-        jnp.where(real, edge_k, -1))
+    # A tile's offset: every tile lies inside one bin (bins are tile-aligned),
+    # so its k is the bin that contains its first slot — a searchsorted over
+    # the K+1 static bin boundaries (an e-sized scatter-max here measured
+    # ~9 ms per map on chip; this is ~microseconds). Tiles past a bin's real
+    # edges (bin padding / the dummy k_total bin) stay -1 and are skipped.
+    ends_pad = jnp.cumsum(padded)  # [K+1] padded bin ends
+    first_slot = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+    tk = jnp.searchsorted(ends_pad, first_slot, side="right").astype(jnp.int32)
+    tk = jnp.minimum(tk, k_total)
+    has_real = first_slot - starts_pad[tk] < counts[tk]
+    tile_k = jnp.where((tk < k_total) & has_real, tk, -1)
 
     return EdgeMap(tile_in=tile_in.reshape(n_tiles, tile),
                    tile_out=tile_out.reshape(n_tiles, tile),

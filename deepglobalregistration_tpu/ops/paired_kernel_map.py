@@ -110,10 +110,36 @@ def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
         in_box = in_box & (ri == 0) & (qi >= 0) & (qi < int(box[i]))
         pidx = pidx + mult * jnp.clip(qi, 0, int(box[i]) - 1)
         mult *= int(box[i])
-    slot_k = jnp.where(in_box,
-                       jnp.asarray(tab)[jnp.arange(k0n)[:, None], pidx], -1)
+    slot_k = _apply_k_table(tab, pidx, in_box)
     slot_in = jnp.where(slot_k >= 0, cand, -1)
     return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32)
+
+
+def _apply_k_table(tab: np.ndarray, pidx: jnp.ndarray,
+                   in_box: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized ``tab[a, pidx]`` (a = leading axis of pidx) WITHOUT an
+    element gather — scalar gathers run ~120M elem/s on this TPU, and this
+    lookup is issued for every (offset, output row, member slot).
+
+    HYPER_CUBE tables are affine (offsets enumerate dimension 0 fastest, so
+    k = first-half digit value + stride * boxed second-half index) — pure
+    arithmetic. Sparse tables (HYPER_CROSS) use a one-hot matmul against the
+    tiny static table instead."""
+    a_n, p_n = tab.shape
+    base = tab[:, 0].astype(np.int32)
+    lead = (a_n,) + (1,) * (pidx.ndim - 1)
+    if p_n == 1:
+        k = jnp.broadcast_to(jnp.asarray(base).reshape(lead), pidx.shape)
+    else:
+        stride = int(tab[0, 1]) - int(tab[0, 0])
+        if tab.min() >= 0 and np.array_equal(
+                tab, base[:, None] + stride * np.arange(p_n)[None, :]):
+            k = jnp.asarray(base).reshape(lead) + stride * pidx
+        else:
+            oh = jax.nn.one_hot(pidx, p_n, dtype=jnp.float32)
+            tv = jnp.asarray((tab + 1).astype(np.float32))
+            k = (jnp.einsum("a...p,ap->a...", oh, tv) - 1).astype(jnp.int32)
+    return jnp.where(in_box, k, -1)
 
 
 def _split_offset_tables(offs: np.ndarray, unit: int):
@@ -137,16 +163,23 @@ def _split_offset_tables(offs: np.ndarray, unit: int):
 class PairMultiMap(NamedTuple):
     """3D-keyed bounded multimap over a 6D correspondence grid's rows.
 
-    table:    hash table over the DISTINCT first-half (c0) coordinates.
-    members:  uint32 [N, B, 3] — for distinct-c0 group g (indexed by the
-              representative's original row, as returned by table lookups),
-              up to B member rows, each (c1 word0, c1 word1, row index).
-              Empty slots hold the all-ones pad word.
-    overflow: bool — some c0 group has more than B rows (edges dropped).
+    For distinct-c0 group g (indexed by the representative's original row, as
+    returned by table lookups), up to B member rows. Structure-of-arrays: one
+    [N, B] array per field, so each field gathers as a CONTIGUOUS row (an
+    interleaved [N, B, 3] layout made XLA decompose the gather into strided
+    per-column scalar gathers — ~10x slower on this TPU).
+
+    table:     hash table over the DISTINCT first-half (c0) coordinates.
+    mem_w0/w1: uint32 [N, B] — the members' packed c1 key words (empty slots
+               hold the all-ones pad word).
+    mem_idx:   int32 [N, B] — the members' original row indices.
+    overflow:  bool — some c0 group has more than B rows (edges dropped).
     """
 
     table: hashing.CoordTable
-    members: jnp.ndarray
+    mem_w0: jnp.ndarray
+    mem_w1: jnp.ndarray
+    mem_idx: jnp.ndarray
     overflow: jnp.ndarray
 
 
@@ -177,13 +210,18 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     ok = (s_g < n) & (pos >= 0) & (pos < b_slots)
     slot = jnp.where(ok, s_g * b_slots + pos, n * b_slots)
     c1w = hashing.pack_rows(c1, valid)
-    payload = jnp.stack([c1w[0][s_idx], c1w[1][s_idx],
-                         s_idx.astype(jnp.uint32)], axis=-1)
-    members = jnp.full((n * b_slots + 1, 3), hashing._PAD_WORD, jnp.uint32)
-    members = members.at[slot].set(payload, mode="drop")
-    members = members[: n * b_slots].reshape(n, b_slots, 3)
+
+    def fill(vals, pad):
+        out = jnp.full((n * b_slots + 1,), pad, vals.dtype)
+        return out.at[slot].set(vals, mode="drop")[: n * b_slots].reshape(
+            n, b_slots)
+
+    mem_w0 = fill(c1w[0][s_idx], hashing._PAD_WORD)
+    mem_w1 = fill(c1w[1][s_idx], hashing._PAD_WORD)
+    mem_idx = fill(s_idx, jnp.int32(-1))
     overflow = (jnp.max(counts[:n]) > b_slots) | table.overflow
-    return PairMultiMap(table=table, members=members, overflow=overflow)
+    return PairMultiMap(table=table, mem_w0=mem_w0, mem_w1=mem_w1,
+                        mem_idx=mem_idx, overflow=overflow)
 
 
 def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
@@ -203,7 +241,7 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
     offs = np.asarray(offsets) * unit
     off0, lo1, box, tab = _split_offset_tables(offs, unit)
     a_n = len(off0)
-    b_slots = mm.members.shape[1]
+    b_slots = mm.mem_w0.shape[1]
     m = c0_out.shape[0]
     validq = jnp.arange(m, dtype=jnp.int32) < num_out
 
@@ -211,10 +249,10 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
                   jnp.asarray(off0[:, i], jnp.int32)[:, None] for i in range(3))
     qv = jnp.broadcast_to(validq[None, :], (a_n, m))
     g = hashing.lookup_cols(mm.table, qcols, query_valid=qv)  # [A, M]
-    rows = mm.members[jnp.maximum(g, 0)]  # [A, M, B, 3] — one row gather
-    w0 = rows[..., 0]
-    w1 = rows[..., 1]
-    ridx = rows[..., 2].astype(jnp.int32)
+    gc = jnp.maximum(g, 0)
+    w0 = mm.mem_w0[gc]  # [A, M, B] — contiguous row gathers (see PairMultiMap)
+    w1 = mm.mem_w1[gc]
+    ridx = mm.mem_idx[gc]
     present = (g >= 0)[..., None] & (w0 != hashing._PAD_WORD)
 
     # unpack the members' c1 fields (16-bit packed, see hashing.pack_cols)
@@ -231,8 +269,7 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
         in_box = in_box & (ri == 0) & (qi >= 0) & (qi < int(box[i]))
         pidx = pidx + mult * jnp.clip(qi, 0, int(box[i]) - 1)
         mult *= int(box[i])
-    a_idx = jnp.arange(a_n, dtype=jnp.int32)[:, None, None]
-    slot_k = jnp.where(in_box, jnp.asarray(tab)[a_idx, pidx], -1)  # [A, M, B]
+    slot_k = _apply_k_table(tab, pidx, in_box)  # [A, M, B]
     slot_in = jnp.where(slot_k >= 0, ridx, -1)
     slot_k = jnp.moveaxis(slot_k, -1, 1).reshape(a_n * b_slots, m)
     slot_in = jnp.moveaxis(slot_in, -1, 1).reshape(a_n * b_slots, m)
