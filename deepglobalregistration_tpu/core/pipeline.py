@@ -193,8 +193,9 @@ class DeepGlobalRegistration:
             Also returns the plan's overflow flag (dropped kernel-map entries:
             hash probe-window or --dense_extent box violation) so register()
             can warn at its existing host sync instead of degrading silently."""
-            plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None, None))(
-                grids, fcgf_cfg, shrink, dense_extent)
+            plan = jax.vmap(fcgf_spec.build_plan,
+                            in_axes=(0, None, None, None, None))(
+                grids, fcgf_cfg, shrink, dense_extent, True)
             feats = jnp.ones(grids.coords.shape[:2] + (1,), self.compute_dtype)
             out, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan, feats,
                                      train=False)
@@ -313,8 +314,9 @@ class DeepGlobalRegistration:
             nums = jnp.stack([n0_raw, n1_raw])
             xyz_sel, grids = jax.vmap(lambda x, n: sparse_grid.voxelize(x, n, voxel))(
                 xyz_pair, nums)
-            plan = jax.vmap(fcgf_spec.build_plan, in_axes=(0, None, None, None))(
-                grids, fcgf_cfg, shrink, dense_extent)
+            plan = jax.vmap(fcgf_spec.build_plan,
+                            in_axes=(0, None, None, None, None))(
+                grids, fcgf_cfg, shrink, dense_extent, True)
             feats_in = jnp.ones(grids.coords.shape[:2] + (1,), self.compute_dtype)
             feats, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan,
                                        feats_in, train=False)

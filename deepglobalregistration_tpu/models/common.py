@@ -95,3 +95,21 @@ def apply_conv_batched(params: Params, feats: jnp.ndarray, kmap) -> jnp.ndarray:
             f, params["kernel"], e, bias=bias, out_rows=kmap.out_rows))(
             feats, kmap.em)
     return jax.vmap(lambda f, km: sc.sparse_conv(f, params["kernel"], km, bias=bias))(feats, kmap)
+
+
+def apply_conv1_ones(params: Params, occ: jnp.ndarray,
+                     compute_dtype) -> jnp.ndarray:
+    """First conv with an all-ones input: out = occupancy @ kernel.
+
+    occ: bool [B, M, K] (plan.conv1_ones). Requires Cin == 1; exact — each
+    output row sums precisely the kernel rows its kernel-map entries select
+    (ops/dense_grid.conv1_ones_occupancy)."""
+    kernel = params["kernel"]
+    assert kernel.shape[1] == 1, "conv1-ones fast path needs Cin == 1"
+    w = kernel[:, 0, :].astype(compute_dtype)
+    out = jnp.einsum("bmk,kc->bmc", occ.astype(compute_dtype), w,
+                     preferred_element_type=jnp.float32)
+    bias = params.get("bias")
+    if bias is not None:
+        out = out + bias
+    return out.astype(compute_dtype)

@@ -85,7 +85,9 @@ def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: flo
 
 
 def build_plan(grid0: Grid, cfg: PyramidNetConfig, level_shrink: int = 2,
-               dense_extent=None):
+               dense_extent=None, ones_input: bool = False):
+    # ones_input accepted for interface parity; the pyramid entry stage fuses
+    # conv1 with its norm/nonlinearity so the occupancy shortcut is not used.
     return unet_plan.build_unet_plan(grid0, cfg.conv1_kernel_size, cfg.region_type,
                                      cfg.D, n_levels=cfg.levels,
                                      level_shrink=level_shrink,

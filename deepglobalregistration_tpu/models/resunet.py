@@ -133,12 +133,14 @@ def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: flo
 
 def build_resunet2_plan(grid0: Grid, cfg: ResUNetConfig,
                         level_shrink: int = 2,
-                        dense_extent=None) -> unet_plan.UNetPlan:
+                        dense_extent=None,
+                        ones_input: bool = False) -> unet_plan.UNetPlan:
     """Pyramid + kernel maps for this config's depth; see models/unet_plan.py."""
     return unet_plan.build_unet_plan(
         grid0, cfg.conv1_kernel_size, cfg.region_type, cfg.D,
         n_levels=cfg.levels, level_shrink=level_shrink,
-        with_pooling=cfg.family.startswith("sp"), dense_extent=dense_extent)
+        with_pooling=cfg.family.startswith("sp"), dense_extent=dense_extent,
+        ones_input=ones_input and cfg.in_channels == 1)
 
 
 build_resunet2_plan_batch = jax.vmap(build_resunet2_plan, in_axes=(0, None))
@@ -246,7 +248,11 @@ def apply(params: common.Params, state: common.Params, cfg: ResUNetConfig,
     for i in range(1, L + 1):
         lvl = i - 1
         if i == 1:
-            out = conv(params["conv1"], out, plan.conv1_kmap)
+            if plan.conv1_ones is not None:
+                out = common.apply_conv1_ones(params["conv1"], plan.conv1_ones,
+                                              out.dtype)
+            else:
+                out = conv(params["conv1"], out, plan.conv1_kmap)
         elif fam in ("sp3", "sp4"):
             out = pool(plan.pool_down, i - 2, out)  # SumPooling k2/s2
             kmap = unet_plan.identity_kmap_batched(plan.grids[lvl]) \

@@ -94,11 +94,12 @@ def make_config(name: str, in_channels: int, out_channels: int, bn_momentum: flo
 
 
 def build_plan(grid0: Grid, cfg: SimpleNetConfig, level_shrink: int = 2,
-               dense_extent=None):
+               dense_extent=None, ones_input: bool = False):
     return unet_plan.build_unet_plan(grid0, cfg.conv1_kernel_size, cfg.region_type,
                                      cfg.D, n_levels=cfg.levels,
                                      level_shrink=level_shrink,
-                                     dense_extent=dense_extent)
+                                     dense_extent=dense_extent,
+                                     ones_input=ones_input and cfg.in_channels == 1)
 
 
 def init(key: jax.Array, cfg: SimpleNetConfig):
@@ -150,8 +151,12 @@ def apply(params, state, cfg: SimpleNetConfig, plan, feats: jnp.ndarray,
     skips = []
     out = feats
     for i in range(1, L + 1):
-        kmap = plan.conv1_kmap if i == 1 else plan.down_kmaps[i - 2]
-        out = conv(params[f"conv{i}"], out, kmap)
+        if i == 1 and plan.conv1_ones is not None:
+            out = common.apply_conv1_ones(params["conv1"], plan.conv1_ones,
+                                          out.dtype)
+        else:
+            kmap = plan.conv1_kmap if i == 1 else plan.down_kmaps[i - 2]
+            out = conv(params[f"conv{i}"], out, kmap)
         out = norm(f"norm{i}", out, i - 1)
         skips.append(out)  # pre-relu skip (simpleunet.py:102-112)
         out = relu(out)

@@ -32,12 +32,17 @@ class UNetPlan(NamedTuple):
     # --dense_extent box too small for the cloud). Surfaced by the pipeline at
     # its existing host syncs; see DeepGlobalRegistration.register().
     overflow: jnp.ndarray = False
+    # Occupancy matrix bool [K1, N]-transposed ([N, K1]) replacing conv1_kmap
+    # when the first conv's input is known to be all ones: conv1 then runs as
+    # one MXU matmul (ops/dense_grid.conv1_ones_occupancy). None = generic.
+    conv1_ones: jnp.ndarray | None = None
 
 
 def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
                     ndim: int, n_levels: int, level_shrink: int = 2,
                     with_pooling: bool = False,
-                    dense_extent: Tuple[int, int, int] | None = None) -> UNetPlan:
+                    dense_extent: Tuple[int, int, int] | None = None,
+                    ones_input: bool = False) -> UNetPlan:
     """Build the pyramid + all kernel maps for one input cloud (jittable).
 
     level_shrink: static per-level capacity divisor (surface scans merge ~4-8x
@@ -75,7 +80,20 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
             return kernel_map.build_kernel_map(tables[i], out_grid, offs, unit,
                                                transpose=transpose)
 
-    conv1_kmap = kmap(0, grids[0], offs1, unit=1)
+    # With an all-ones input, conv1 degenerates to occupancy @ kernel (one
+    # matmul): the dense box probes just 2*ks^2 packed words per row; other
+    # paths reuse the kernel map's validity pattern and drop the map itself.
+    conv1_ones = None
+    if ones_input and ndim == 3:
+        if use_dense and region_type == kernel_map.HYPER_CUBE \
+                and conv1_kernel_size % 2 == 1:
+            conv1_ones = dense_grid.conv1_ones_occupancy(
+                tables[0], ext(0), grids[0], conv1_kernel_size)
+        else:
+            conv1_ones = (kmap(0, grids[0], offs1, unit=1) >= 0).T
+        conv1_kmap = None
+    else:
+        conv1_kmap = kmap(0, grids[0], offs1, unit=1)
     self_kmaps = tuple(kmap(i, grids[i], offs3, unit=2 ** i)
                        for i in range(n_levels))
     down_kmaps = tuple(kmap(i, grids[i + 1], offs3, unit=2 ** i)
@@ -105,7 +123,7 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
     return UNetPlan(grids=tuple(grids), conv1_kmap=conv1_kmap,
                     self_kmaps=self_kmaps, down_kmaps=down_kmaps,
                     up_kmaps=up_kmaps, pool_down=pool_down, pool_up=pool_up,
-                    overflow=overflow)
+                    overflow=overflow, conv1_ones=conv1_ones)
 
 
 # Edge-compacted convolution for 6D maps (ops/edge_conv). Module-level switch

@@ -95,6 +95,83 @@ def dense_lookup_cols(table: DenseTable, extent: Tuple[int, int, int],
     return jnp.where(inb, hit, -1).astype(jnp.int32)
 
 
+def build_occupancy_words(table: DenseTable, extent: Tuple[int, int, int]
+                          ) -> jnp.ndarray:
+    """Bit-pack the dense table's occupancy along the minor (z) axis.
+
+    Returns uint32 [ceil(X*Y*Z / 32)]: bit (addr & 31) of word (addr >> 5) is
+    set iff cell ``addr`` holds a row. 256^3 cells pack into 2 MB — small
+    enough that the conv1 occupancy probe (see conv1_ones_occupancy) reads it
+    at near-cache rates instead of gathering the 64 MB int32 table."""
+    ex, ey, ez = (int(e) for e in extent)
+    size = ex * ey * ez
+    nwords = -(-size // 32)
+    occ = (table.dense >= 0).astype(jnp.uint32)
+    occ = jnp.pad(occ, (0, nwords * 32 - size)).reshape(nwords, 32)
+    return jnp.sum(occ << jnp.arange(32, dtype=jnp.uint32)[None, :], axis=1,
+                   dtype=jnp.uint32)
+
+
+def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
+                         out_grid: Grid, kernel_size: int) -> jnp.ndarray:
+    """Occupancy matrix O [M, K] for a first-layer conv with ALL-ONES input.
+
+    With x == 1 everywhere, ``out[j] = sum_k x[i_k(j)] W_k = O[j] @ W``: the
+    kernel map degenerates to its occupancy pattern and conv1 becomes ONE MXU
+    matmul (models/common.apply_conv1_ones). This replaces both the K=343
+    dense-table gather (11M scalar loads) and the 343-offset gather-GEMM scan
+    — the two dominant costs of the FCGF forward measured on chip (reference
+    hot loop: MinkowskiConvolution at model/resunet.py:598-649, fed ones at
+    core/deep_global_registration.py:159).
+
+    The probe gathers, per output row and (dx, dy) offset pair, TWO adjacent
+    uint32 words of the bit-packed z-axis occupancy — 2*ks^2 element gathers
+    per row instead of ks^3 — and extracts the ks z-bits by shifts. Columns
+    are returned in odometer order (dim 0 fastest) to match the [K, Cin,
+    Cout] kernel layout. Stride-1 / level-0 only.
+    """
+    ex, ey, ez = (int(e) for e in extent)
+    ks = int(kernel_size)
+    r = ks // 2
+    assert ks % 2 == 1 and ez >= ks, "odd kernels within the box only"
+    words = build_occupancy_words(table, extent)
+    nwords = words.shape[0]
+
+    valid = out_grid.valid_mask()  # [M]
+    rel0 = out_grid.coords[:, 0] - table.cmin[0]
+    rel1 = out_grid.coords[:, 1] - table.cmin[1]
+    rel2 = out_grid.coords[:, 2] - table.cmin[2]
+
+    d = jnp.arange(ks, dtype=jnp.int32) - r
+    x = rel0[:, None, None] + d[None, :, None]  # [M, dx, 1]
+    y = rel1[:, None, None] + d[None, None, :]  # [M, 1, dy]
+    valid_xy = ((x >= 0) & (x < ex) & (y >= 0) & (y < ey)
+                & valid[:, None, None])  # [M, ks, ks]
+
+    zbase = rel2 - r
+    zclamp = jnp.clip(zbase, 0, ez - ks)  # [M] aligned, always in-row
+    addr = (x * ey + y) * ez + zclamp[:, None, None]
+    addr = jnp.where(valid_xy, addr, 0)
+    w_idx = addr >> 5
+    b = (addr & 31).astype(jnp.uint32)
+    w0 = words[w_idx]
+    w1 = words[jnp.minimum(w_idx + 1, nwords - 1)]
+    # 32-bit window starting at bit offset b of the 64-bit concat (b<32, and
+    # the needed bit index stays < 32: dz + (zbase - zclamp) <= 2(ks-1) - r).
+    win = (w0 >> b) | jnp.where(b == 0, jnp.uint32(0),
+                                w1 << (jnp.uint32(32) - b))
+
+    dz = jnp.arange(ks, dtype=jnp.int32)
+    shift = dz[None, :] + (zbase - zclamp)[:, None]  # [M, dz]
+    valid_z = (zbase[:, None] + dz[None, :] >= 0) & \
+              (zbase[:, None] + dz[None, :] < ez)
+    shift = jnp.clip(shift, 0, 31).astype(jnp.uint32)
+    bits = (win[:, :, :, None] >> shift[:, None, None, :]) & jnp.uint32(1)
+    occ = (bits != 0) & valid_xy[..., None] & valid_z[:, None, None, :]
+    # [M, dx, dy, dz] -> odometer order k = dx + ks*dy + ks^2*dz
+    return jnp.transpose(occ, (0, 3, 2, 1)).reshape(-1, ks ** 3)
+
+
 def build_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
                            log2_stride: int, out_grid: Grid, offsets,
                            unit: int, transpose: bool = False) -> jnp.ndarray:

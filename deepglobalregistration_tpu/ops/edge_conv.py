@@ -252,7 +252,14 @@ class SizedEdgeMap:
 
 
 # Tiles per scan chunk: each chunk is one batched gather + einsum + scatter.
-_TILE_CHUNK = 16
+# Each scan iteration costs ~70us of loop/scatter overhead on chip, so chunks
+# are sized to keep the iteration count ~32 regardless of map size (bounded
+# above so a chunk's gathered activations stay comfortably under VMEM).
+_TILE_CHUNK_MAX = 256
+
+
+def _chunk_tiles(n_tiles: int) -> int:
+    return max(16, min(_TILE_CHUNK_MAX, -(-n_tiles // 32)))
 
 
 def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
@@ -269,14 +276,15 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     compute_dtype = feats.dtype
     kernel = kernel.astype(compute_dtype)
 
-    n_chunks = -(-n_tiles // _TILE_CHUNK)
-    pad_t = n_chunks * _TILE_CHUNK - n_tiles
+    tile_chunk = _chunk_tiles(n_tiles)
+    n_chunks = -(-n_tiles // tile_chunk)
+    pad_t = n_chunks * tile_chunk - n_tiles
     tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)), constant_values=-1)
     tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
     tk = jnp.pad(em.tile_k, (0, pad_t), constant_values=-1)
-    tin = tin.reshape(n_chunks, _TILE_CHUNK, t)
-    tout = tout.reshape(n_chunks, _TILE_CHUNK, t)
-    tk = tk.reshape(n_chunks, _TILE_CHUNK)
+    tin = tin.reshape(n_chunks, tile_chunk, t)
+    tout = tout.reshape(n_chunks, tile_chunk, t)
+    tk = tk.reshape(n_chunks, tile_chunk)
 
     def body(acc, chunk):
         c_in, c_out, c_k = chunk

@@ -68,3 +68,39 @@ def test_unet_plan_dense_matches_hash(rng):
                                        level_shrink=1, dense_extent=(40, 40, 40))
     for a, b in zip(jax.tree.leaves(plan_h), jax.tree.leaves(plan_d)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("ks", [3, 5, 7])
+def test_conv1_ones_occupancy_matches_kmap(rng, ks):
+    """O[j, k] must equal (kernel map entry present) for every offset —
+    including rows at the box boundary where the z-window straddles words."""
+    g = _grid(rng, 120, 128, lo=0, hi=20)
+    ext = (20, 24, 33)  # non-multiple-of-32 z tests the straddle path
+    dt = dense_grid.build_dense_table(g, ext)
+    offs = kernel_map.kernel_offsets(ks, 3, kernel_map.HYPER_CUBE)
+    km = dense_grid.build_kernel_map_dense(dt, ext, 0, g, offs, unit=1)
+    occ = dense_grid.conv1_ones_occupancy(dt, ext, g, ks)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(km >= 0).T)
+
+
+@pytest.mark.parametrize("dense", [True, False])
+def test_unet_plan_ones_input_feature_parity(rng, dense):
+    """FCGF forward with the conv1-ones shortcut == generic conv path."""
+    from deepglobalregistration_tpu.models import load_model
+
+    spec = load_model("ResUNetBN")
+    cfg = spec.make_config(1, 16, conv1_kernel_size=5, D=3)
+    params, state = spec.init(jax.random.PRNGKey(0), cfg)
+    g = _grid(rng, 200, 256, lo=0, hi=16)
+    de = (24, 24, 24) if dense else None
+    feats = jnp.ones((1, 256, 1), jnp.float32)
+    gb = jax.tree.map(lambda x: x[None], g)
+    plan_ref = jax.vmap(spec.build_plan, in_axes=(0, None, None, None, None))(
+        gb, cfg, 2, de, False)
+    plan_ones = jax.vmap(spec.build_plan, in_axes=(0, None, None, None, None))(
+        gb, cfg, 2, de, True)
+    assert plan_ones.conv1_ones is not None and plan_ones.conv1_kmap is None
+    out_ref, _ = spec.apply(params, state, cfg, plan_ref, feats, train=False)
+    out_ones, _ = spec.apply(params, state, cfg, plan_ones, feats, train=False)
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_ones),
+                               rtol=2e-5, atol=2e-5)
