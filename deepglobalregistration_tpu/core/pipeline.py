@@ -186,8 +186,7 @@ class DeepGlobalRegistration:
 
         dense_extent = self.dense_extent
 
-        @jax.jit
-        def features(fcgf_params, fcgf_state, grids, nvox):
+        def features_core(fcgf_params, fcgf_state, grids):
             """Batched (B=2) FCGF forward on pre-bucketed voxel grids.
 
             Also returns the plan's overflow flag (dropped kernel-map entries:
@@ -200,6 +199,10 @@ class DeepGlobalRegistration:
             out, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan, feats,
                                      train=False)
             return out.astype(jnp.float32), jnp.any(plan.overflow)
+
+        @jax.jit
+        def features(fcgf_params, fcgf_state, grids, nvox):
+            return features_core(fcgf_params, fcgf_state, grids)
 
         def match_inlier_core(feats0, feats1, xyz0, xyz1,
                               coords0, coords1, num0, num1,
@@ -297,6 +300,52 @@ class DeepGlobalRegistration:
                                            init=T, use_pallas=use_pallas)
             return res.T
 
+        @jax.jit
+        def register_fused(fcgf_params, fcgf_state, inlier_params,
+                           inlier_state, rng, xyz_sel, grids):
+            """Everything after voxelization as ONE device program.
+
+            The staged path pays one tunnel/dispatch round trip per stage
+            (features, match+inlier, refine|ransac, icp — tens of ms each on
+            this platform); here the safeguard gate is a lax.cond (one branch
+            executes on TPU, like the reference's host branch at
+            deep_global_registration.py:276-315) and the RNG split for the
+            safeguard lives on device, so register() makes a single dispatch
+            and a single result sync."""
+            rng_next, key = jax.random.split(rng)
+            feats, overflow3 = features_core(fcgf_params, fcgf_state, grids)
+            idx1, weights, wsum, overflow6 = match_inlier_core(
+                feats[0], feats[1], xyz_sel[0], xyz_sel[1],
+                grids.coords[0], grids.coords[1], grids.num[0], grids.num[1],
+                inlier_params, inlier_state, pallas=use_pallas)
+            xyz0_corr = xyz_sel[0]
+            xyz1_corr = xyz_sel[1][idx1]
+            thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
+
+            def do_refine(op):
+                x0c, x1c, w, _ = op
+                res = registration.global_registration(
+                    x0c, x1c, w, break_threshold_ratio=1e-4,
+                    quantization_size=2 * voxel)
+                return res.R, res.t
+
+            def do_ransac(op):
+                x0c, x1c, _, k = op
+                res = ransac.ransac_correspondence(
+                    k, x0c, x1c, grids.num[0], distance_threshold=2 * voxel,
+                    num_hypotheses=self.ransac_hypotheses)
+                return res.R, res.t
+
+            R, t = jax.lax.cond(wsum >= thresh, do_refine, do_ransac,
+                                (xyz0_corr, xyz1_corr, weights, key))
+            T = se3.rt_to_matrix(R, t)
+            if self.use_icp:
+                T = icp_ops.registration_icp(
+                    xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
+                    max_correspondence_distance=2 * voxel, init=T,
+                    use_pallas=use_pallas).T
+            return T, wsum, overflow3, overflow6, rng_next
+
         # ------------------------------------------------------------------
         # batched / multi-chip registration (eval fan-out; SURVEY.md 2.3)
         # ------------------------------------------------------------------
@@ -350,6 +399,7 @@ class DeepGlobalRegistration:
 
         self._quantize = quantize
         self._features = features
+        self._register_fused = register_fused
         self._match_and_inlier = match_and_inlier
         self._inlier_from_idx = inlier_from_idx
         self._match_inlier_core = match_inlier_core
@@ -551,6 +601,30 @@ class DeepGlobalRegistration:
         if net_cap != raw_cap:  # re-bucket the voxelized clouds (device slice)
             xyz_sel = xyz_sel[:, :net_cap]
             grids = Grid(coords=grids.coords[:, :net_cap], num=grids.num)
+
+        # Fused fast path: one device program from features to the polished T
+        # (the staged path below remains for the host-KNN dispatch and the
+        # feature-matching safeguard, and for per-stage timing).
+        if self.knn_search_method != "cpu" and \
+                self.safeguard_method == "correspondence":
+            T_dev, wsum_dev, ov3, ov6, self._rng = self._register_fused(
+                self.fcgf_params, self.fcgf_state, self.inlier_params,
+                self.inlier_state, self._rng, xyz_sel, grids)
+            T = np.asarray(T_dev, np.float64)  # sync
+            wsum = float(wsum_dev)
+            if bool(ov3):
+                log.warning(
+                    "kernel-map table overflow: entries dropped (cloud exceeds "
+                    "the --dense_extent box or a hash bucket overflowed its "
+                    "probe window) — features are degraded for this pair")
+            if bool(ov6):
+                log.warning("6D inlier kernel-map table overflow: entries dropped")
+            wsum_threshold = max(200, int(nvox[0]) * 0.05)
+            sign = ">=" if wsum >= wsum_threshold else "<"
+            log.info("Weighted sum %.2f %s threshold %.1f", wsum, sign,
+                     wsum_threshold)
+            log.info("=> DGR takes %.2f s", self.reg_timer.toc(False))
+            return T
 
         self.feat_timer.tic()
         feats, overflow = self._features(self.fcgf_params, self.fcgf_state,
