@@ -241,7 +241,8 @@ class DeepGlobalRegistration:
             if hasattr(inlier_cfg, "family") and not inlier_cfg.family.startswith("sp"):
                 plan = up.build_paired_unet_plan(
                     c0, c1, num0, inlier_cfg.conv1_kernel_size,
-                    inlier_cfg.region_type, inlier_cfg.levels, shrink6)
+                    inlier_cfg.region_type, inlier_cfg.levels, shrink6,
+                    dense_extent=dense_extent)
                 plan = jax.tree.map(lambda x: x[None], plan)
             else:
                 plan = jax.vmap(inlier_spec.build_plan, in_axes=(0, None, None))(

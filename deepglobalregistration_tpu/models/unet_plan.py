@@ -185,7 +185,8 @@ identity_kmap_batched = _jax.vmap(identity_kmap)
 
 def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                            conv1_kernel_size: int, region_type: int,
-                           n_levels: int, level_shrink: int = 2) -> UNetPlan:
+                           n_levels: int, level_shrink: int = 2,
+                           dense_extent=None) -> UNetPlan:
     """UNet plan for the 6D correspondence grid of the inlier net.
 
     Level-0 kernel maps (the conv1 map and the k3 self map — by far the
@@ -236,10 +237,20 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         def b_slots(level):
             return int(min(8 ** level, _B_CAP_6D)) if level else 2
 
+        # Dense-grid c0 keys when the 3D box is bounded (one int32 gather per
+        # probe instead of a packed hash-bucket row gather — the dominant
+        # plan-build cost on chip); hash keys otherwise.
+        def ext(level):
+            if dense_extent is None:
+                return None
+            return tuple(max(-(-int(e) // (1 << level)), 1)
+                         for e in dense_extent)
+
         mms = []
         for i, g in enumerate(grids):
             mm = paired_kernel_map.build_multimap(
-                g.coords[:, :3], g.coords[:, 3:], g.num, b_slots(i))
+                g.coords[:, :3], g.coords[:, 3:], g.num, b_slots(i),
+                dense_extent=ext(i), log2_stride=i)
             overflow = jnp.logical_or(overflow, mm.overflow)
             mms.append(mm)
 
@@ -257,7 +268,8 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         for i in range(1, n_levels):
             sk, si = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
-                grids[i].num, offs3, unit=2 ** i)
+                grids[i].num, offs3, unit=2 ** i,
+                dense_extent=ext(i), log2_stride=i)
             em = ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
                                               tile=_EDGE_TILE,
                                               d_cap=self_cap(i))
@@ -269,7 +281,8 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         for i in range(n_levels - 1):
             sk, si = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i + 1].coords[:, :3], grids[i + 1].coords[:, 3:],
-                grids[i + 1].num, offs3, unit=2 ** i)
+                grids[i + 1].num, offs3, unit=2 ** i,
+                dense_extent=ext(i), log2_stride=i)
             dn, up = ec.build_edge_maps_down_up_from_slots(
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i))
             overflow = jnp.logical_or(overflow, dn.overflow)

@@ -196,19 +196,33 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
     scatter into single-offset tiles. Invalid edges carry k = k_total (a dummy
     trailing bin whose tiles stay marked -1 and are skipped at compute)."""
     e = edge_k.shape[0]
-    sort_idx = jnp.argsort(edge_k)  # stable not required within a bin
-    edge_k = edge_k[sort_idx]
-    edge_in = edge_in[sort_idx]
-    edge_out = edge_out[sort_idx]
+    # Single-key sort carrying both payloads: the argsort-then-gather form
+    # spent ~24 ms per e-sized payload gather on chip (3 gathers per map);
+    # the TPU sort network moves the payloads for free. (Single int32 key —
+    # distinct from the multi-word-key sort pattern the axon backend
+    # miscompiled; exactness guarded by tools/tpu_regression_checks.py.)
+    edge_k, edge_in, edge_out = jax.lax.sort(
+        (edge_k, edge_in, edge_out), num_keys=1)
 
-    counts = jnp.zeros(k_total + 1, jnp.int32).at[edge_k].add(1)
+    # Bin sizes by binary search over the sorted keys (an e-sized scatter-add
+    # here measured ~29 ms per map; K+2 searches are microseconds).
+    bounds = jnp.searchsorted(
+        edge_k, jnp.arange(k_total + 2, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    counts = jnp.diff(bounds)  # [K+1]
+    starts_raw = bounds[:-1]
     padded = -(-counts // tile) * tile  # ceil to tile multiple
     starts_pad = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(padded)[:-1]])
-    starts_raw = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(counts)[:-1]])
-    rank = jnp.arange(e, dtype=jnp.int32) - starts_raw[edge_k]
-    pos = starts_pad[edge_k] + rank
+    # Padded slot of each edge: pos = arange + (bin padding inserted before
+    # it). The shift is piecewise constant, jumping at bin starts — scatter
+    # the K+1 jump amounts and prefix-sum, instead of two e-sized table
+    # gathers (~40 ms per map on chip).
+    pad_before = starts_pad - starts_raw  # [K+1], nondecreasing
+    jumps = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), pad_before]))
+    jump_e = jnp.zeros(e + 1, jnp.int32).at[
+        jnp.minimum(starts_raw, e)].add(jumps, mode="drop")[:e]
+    pos = jnp.arange(e, dtype=jnp.int32) + jnp.cumsum(jump_e)
 
     # static upper bound on padded length, rounded to a whole tile count
     e_pad = -(-(e + (k_total + 1) * tile) // tile) * tile

@@ -169,36 +169,69 @@ class PairMultiMap(NamedTuple):
     interleaved [N, B, 3] layout made XLA decompose the gather into strided
     per-column scalar gathers — ~10x slower on this TPU).
 
-    table:     hash table over the DISTINCT first-half (c0) coordinates.
+    table:     hash table over the DISTINCT first-half (c0) coordinates —
+               OR a dense-grid index (ops/dense_grid.DenseTable) when the
+               builder was given a bounded extent: the per-query cost then
+               drops from one packed-bucket row gather (8 slots x 3 words)
+               to a single int32 element gather, the dominant plan-build
+               cost measured on chip.
     mem_w0/w1: uint32 [N, B] — the members' packed c1 key words (empty slots
                hold the all-ones pad word).
     mem_idx:   int32 [N, B] — the members' original row indices.
     overflow:  bool — some c0 group has more than B rows (edges dropped).
     """
 
-    table: hashing.CoordTable
+    table: object
     mem_w0: jnp.ndarray
     mem_w1: jnp.ndarray
     mem_idx: jnp.ndarray
     overflow: jnp.ndarray
 
 
+def _group_lookup(table, qcols, qv, extent, log2_stride):
+    """Group-id lookup dispatching on the multimap's key structure."""
+    from . import dense_grid
+
+    if isinstance(table, dense_grid.DenseTable):
+        return dense_grid.dense_lookup_cols(table, extent, log2_stride,
+                                            qcols, query_valid=qv)
+    return hashing.lookup_cols(table, qcols, query_valid=qv)
+
+
 def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
-                   b_slots: int) -> PairMultiMap:
+                   b_slots: int, dense_extent=None,
+                   log2_stride: int = 0) -> PairMultiMap:
     """Group the rows of a 6D correspondence grid by their 3D c0 value.
 
     One stride-2 of a level with unique c0 yields groups of <= 8, so b_slots
     = 8 is exact at level 1; deeper levels use a configured cap with the
-    overflow flag (the edge-conv d_cap would bound per-row degree anyway)."""
+    overflow flag (the edge-conv d_cap would bound per-row degree anyway).
+
+    dense_extent: static [X, Y, Z] cell box (at this level's stride
+    granularity) switching the c0 key to the dense-grid index."""
     n = c0.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     valid = iota < num
     u_coords, u_num, _ = hashing.unique_rows(c0, num)
-    table = hashing.build_table(u_coords, u_num)
-    # Group id := position of the row's c0 among the distinct values. Every
-    # valid row's c0 is present by construction, so g >= 0 for valid rows.
-    g = hashing.lookup(table, c0, query_valid=valid)
-    gq = jnp.where(valid, g, n)
+    if dense_extent is not None:
+        from . import dense_grid
+        from .sparse_grid import Grid
+
+        table = dense_grid.build_dense_table(
+            Grid(coords=u_coords, num=u_num), dense_extent,
+            log2_stride=log2_stride)
+        g = dense_grid.dense_lookup_cols(
+            table, dense_extent, log2_stride,
+            tuple(c0[:, i] for i in range(3)), query_valid=valid)
+    else:
+        table = hashing.build_table(u_coords, u_num)
+        # Group id := position of the row's c0 among the distinct values.
+        # Every valid row's c0 is present by construction, so g >= 0 for
+        # valid rows.
+        g = hashing.lookup(table, c0, query_valid=valid)
+    # g == -1 happens only on the dense-key path for rows outside the box
+    # (the dense table's overflow flag is raised); exclude them like padding.
+    gq = jnp.where(valid & (g >= 0), g, n)
     # Rank rows within their group by original index (deterministic member
     # order). Consume only the sort's permutation output (see unique_rows).
     s_idx = jax.lax.sort((gq, iota), num_keys=2)[-1]
@@ -226,7 +259,8 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
 
 def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
                              c1_out: jnp.ndarray, num_out: jnp.ndarray,
-                             offsets: np.ndarray, unit: int):
+                             offsets: np.ndarray, unit: int,
+                             dense_extent=None, log2_stride: int = 0):
     """Slot-form edges (slot_k, slot_in), each [A*B, M], of the kernel map
     whose INPUT rows are the multimap's grid and whose OUTPUT rows are the
     (c0_out, c1_out) grid: input i is reachable from output j under offset k
@@ -248,7 +282,7 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
     qcols = tuple(c0_out[:, i][None, :] +
                   jnp.asarray(off0[:, i], jnp.int32)[:, None] for i in range(3))
     qv = jnp.broadcast_to(validq[None, :], (a_n, m))
-    g = hashing.lookup_cols(mm.table, qcols, query_valid=qv)  # [A, M]
+    g = _group_lookup(mm.table, qcols, qv, dense_extent, log2_stride)  # [A, M]
     gc = jnp.maximum(g, 0)
     w0 = mm.mem_w0[gc]  # [A, M, B] — contiguous row gathers (see PairMultiMap)
     w1 = mm.mem_w1[gc]
