@@ -43,12 +43,21 @@ class EdgeMap(NamedTuple):
     tile_k:   [NT] int32 kernel offset of every edge in the tile (-1 = padding
               tile; tiles never mix offsets)
     overflow: bool — some row had more than d_cap valid offsets (edges lost)
+    out_slots: int32 [M, D] or None — for maps whose edge list has a static
+              per-output-row slot pattern (everything except transposed
+              maps), the flat tile positions of output row m's edges. The
+              convolution then composes its output by GATHERING the per-edge
+              products (y[out_slots].sum(1)) instead of scatter-adding them —
+              the scatter measured ~10x the cost of the whole rest of the
+              conv on chip. Positions of absent edges land in padding/dummy
+              tiles whose products are zeroed, so no masking is needed.
     """
 
     tile_in: jnp.ndarray
     tile_out: jnp.ndarray
     tile_k: jnp.ndarray
     overflow: jnp.ndarray
+    out_slots: jnp.ndarray | None = None
 
     @property
     def tile(self) -> int:
@@ -63,8 +72,9 @@ def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
     """
     edge_k, edge_in, edge_out, k_total, tile_sz, overflow = _compact_edges(
         kmap, d_cap, tile)
+    m = kmap.shape[1]
     return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
-                           overflow)
+                           overflow, slot_shape=(m, edge_k.shape[0] // m))
 
 
 def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
@@ -79,8 +89,9 @@ def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
     replaces its entire 729-offset hash build with one re-tiling pass."""
     edge_k, edge_in, edge_out, k_total, tile_sz, overflow = _compact_edges(
         kmap_down, d_cap, tile)
+    m = kmap_down.shape[1]
     down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
-                           overflow)
+                           overflow, slot_shape=(m, edge_k.shape[0] // m))
     up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile_sz,
                          overflow)
     return down, up
@@ -156,13 +167,14 @@ def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
         edge_k, edge_in, edge_out, overflow = _compact_slot_edges(
             slot_k, slot_in, k_total, d_cap)
         return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile,
-                               overflow)
+                               overflow, slot_shape=(m, d_cap))
     valid = (slot_k >= 0) & (slot_in >= 0)
     edge_k = jnp.where(valid, slot_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (s, m))
     return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
                            edge_out.reshape(-1), k_total, tile,
-                           jnp.asarray(False))
+                           jnp.asarray(False), slot_shape=(s, m),
+                           transpose_slots=True)
 
 
 def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
@@ -176,6 +188,7 @@ def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
     if d_cap is not None and d_cap < s:
         edge_k, edge_in, edge_out, overflow = _compact_slot_edges(
             slot_k, slot_in, k_total, d_cap)
+        shape, tr = (m, d_cap), False
     else:
         valid = (slot_k >= 0) & (slot_in >= 0)
         edge_k = jnp.where(valid, slot_k, k_total).reshape(-1)
@@ -183,26 +196,35 @@ def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
         edge_out = jnp.broadcast_to(
             jnp.arange(m, dtype=jnp.int32)[None, :], (s, m)).reshape(-1)
         overflow = jnp.asarray(False)
+        shape, tr = (s, m), True
     edge_in = jnp.where(edge_k < k_total, edge_in, -1)
-    down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile, overflow)
+    down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile, overflow,
+                           slot_shape=shape, transpose_slots=tr)
     up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile, overflow)
     return down, up
 
 
 def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
                     edge_out: jnp.ndarray, k_total: int, tile: int,
-                    overflow: jnp.ndarray) -> EdgeMap:
+                    overflow: jnp.ndarray, slot_shape=None,
+                    transpose_slots: bool = False) -> EdgeMap:
     """Sort edges by offset, pad each offset's bin to a tile multiple, and
     scatter into single-offset tiles. Invalid edges carry k = k_total (a dummy
-    trailing bin whose tiles stay marked -1 and are skipped at compute)."""
+    trailing bin whose tiles stay marked -1 and are skipped at compute).
+
+    slot_shape: when the INCOMING flat edge order has a static per-output-row
+    pattern (row-major [M, D], or [S, M] with transpose_slots=True), also
+    compute EdgeMap.out_slots — the tile position of every incoming edge,
+    recovered by a second cheap sort — enabling the gather-sum convolution."""
     e = edge_k.shape[0]
-    # Single-key sort carrying both payloads: the argsort-then-gather form
+    # Single-key sort carrying the payloads: the argsort-then-gather form
     # spent ~24 ms per e-sized payload gather on chip (3 gathers per map);
     # the TPU sort network moves the payloads for free. (Single int32 key —
     # distinct from the multi-word-key sort pattern the axon backend
     # miscompiled; exactness guarded by tools/tpu_regression_checks.py.)
-    edge_k, edge_in, edge_out = jax.lax.sort(
-        (edge_k, edge_in, edge_out), num_keys=1)
+    orig = jnp.arange(e, dtype=jnp.int32)
+    edge_k, edge_in, edge_out, s_orig = jax.lax.sort(
+        (edge_k, edge_in, edge_out, orig), num_keys=1)
 
     # Bin sizes by binary search over the sorted keys (an e-sized scatter-add
     # here measured ~29 ms per map; K+2 searches are microseconds).
@@ -224,6 +246,16 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
         jnp.minimum(starts_raw, e)].add(jumps, mode="drop")[:e]
     pos = jnp.arange(e, dtype=jnp.int32) + jnp.cumsum(jump_e)
 
+    out_slots = None
+    if slot_shape is not None:
+        # Tile position of each INCOMING edge: sort (original index, pos)
+        # back to input order — a second e-sized sort (~1 ms) instead of an
+        # e-sized inverse-permutation scatter (~15 ms on chip).
+        _, back = jax.lax.sort((s_orig, pos), num_keys=1)
+        out_slots = back.reshape(slot_shape)
+        if transpose_slots:
+            out_slots = out_slots.T
+
     # static upper bound on padded length, rounded to a whole tile count
     e_pad = -(-(e + (k_total + 1) * tile) // tile) * tile
     n_tiles = e_pad // tile
@@ -243,7 +275,7 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
 
     return EdgeMap(tile_in=tile_in.reshape(n_tiles, tile),
                    tile_out=tile_out.reshape(n_tiles, tile),
-                   tile_k=tile_k, overflow=overflow)
+                   tile_k=tile_k, overflow=overflow, out_slots=out_slots)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -294,31 +326,59 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     n_chunks = -(-n_tiles // tile_chunk)
     pad_t = n_chunks * tile_chunk - n_tiles
     tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)), constant_values=-1)
-    tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
     tk = jnp.pad(em.tile_k, (0, pad_t), constant_values=-1)
     tin = tin.reshape(n_chunks, tile_chunk, t)
-    tout = tout.reshape(n_chunks, tile_chunk, t)
     tk = tk.reshape(n_chunks, tile_chunk)
 
-    def body(acc, chunk):
-        c_in, c_out, c_k = chunk
+    def chunk_products(chunk):
+        """Per-edge products of one chunk of tiles: [CT, T, Cout] f32."""
+        c_in, c_k = chunk
+        w = kernel[jnp.maximum(c_k, 0)]  # [CT, Cin, Cout]
+        x = jnp.where((c_in >= 0)[..., None],
+                      feats[jnp.maximum(c_in, 0)], 0)  # [CT, T, Cin]
+        y = jnp.einsum("ktc,kcd->ktd", x, w,
+                       preferred_element_type=jnp.float32)
+        return jnp.where((c_k >= 0)[:, None, None], y, 0.0)
 
-        def compute(acc):
-            w = kernel[jnp.maximum(c_k, 0)]  # [CT, Cin, Cout]
-            x = jnp.where((c_in >= 0)[..., None],
-                          feats[jnp.maximum(c_in, 0)], 0)  # [CT, T, Cin]
-            y = jnp.einsum("ktc,kcd->ktd", x, w,
-                           preferred_element_type=jnp.float32)
-            y = jnp.where((c_k >= 0)[:, None, None], y, 0.0)
-            idx = jnp.where(c_out >= 0, c_out, m)  # route padding off the end
+    # Real edges occupy a prefix of the tile array save for small in-bin
+    # padding; the trailing dummy bin (per-row d_cap padding, 50-75% of the
+    # slots at deep 6D levels) is all -1 tiles. A dynamic-bound loop skips
+    # it — a lax.cond per chunk does NOT: under the model's vmap the cond
+    # becomes a select and both branches execute.
+    tile_iota = jnp.arange(n_tiles + pad_t, dtype=jnp.int32)
+    n_live = jnp.max(jnp.where(tk.reshape(-1) >= 0, tile_iota, -1)) + 1
+    live_chunks = -(-n_live // tile_chunk)
+
+    if em.out_slots is not None:
+        # Gather-sum composition: materialize every edge's product in tile
+        # order, then each output row GATHERS its (static) slots and sums.
+        # The scatter-add this replaces ran ~10x slower than the rest of the
+        # conv on chip; absent edges point at zeroed padding products, so no
+        # masking is needed. Products are stored in the compute dtype (the
+        # gather traffic is the cost center) and summed in f32.
+        def body(c, ys):
+            y = chunk_products((tin[c], tk[c])).astype(compute_dtype)
+            return jax.lax.dynamic_update_slice(ys, y[None],
+                                                (c, 0, 0, 0))
+
+        ys0 = jnp.zeros((n_chunks, tile_chunk, t, cout), compute_dtype)
+        ys = jax.lax.fori_loop(0, live_chunks, body, ys0)
+        y_flat = ys.reshape(-1, cout)
+        out = jnp.sum(y_flat[em.out_slots], axis=1,
+                      dtype=jnp.float32)  # [M, Cout]
+    else:
+        # Transposed maps have no static per-row slot pattern: scatter-add.
+        tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
+        tout = tout.reshape(n_chunks, tile_chunk, t)
+
+        def body(c, acc):
+            y = chunk_products((tin[c], tk[c]))
+            idx = jnp.where(tout[c] >= 0, tout[c], m)  # padding -> dropped
             return acc.at[idx.reshape(-1)].add(
                 y.reshape(-1, cout), mode="drop")
 
-        # skip chunks that are entirely bin padding / trailing dummy tiles
-        return jax.lax.cond(jnp.any(c_k >= 0), compute, lambda a: a, acc), None
-
-    acc0 = jnp.zeros((m, cout), jnp.float32)
-    out, _ = jax.lax.scan(body, acc0, (tin, tout, tk))
+        acc0 = jnp.zeros((m, cout), jnp.float32)
+        out = jax.lax.fori_loop(0, live_chunks, body, acc0)
     if bias is not None:
         out = out + bias
     return out.astype(compute_dtype)
