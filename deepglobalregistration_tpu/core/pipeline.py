@@ -92,6 +92,7 @@ class DeepGlobalRegistration:
         # find_knn_batch dispatch, core/knn.py:77-103).
         self.knn_search_method = str(getattr(config, "knn_search_method", "gpu"))
         self._rng = jax.random.PRNGKey(0)
+        self._net_cap_guess = None  # speculative bucket (see register())
 
         if getattr(config, "weights", None):
             state = ckpt_utils.load_torch_checkpoint(config.weights) \
@@ -596,21 +597,47 @@ class DeepGlobalRegistration:
                                          _pad_cloud(xyz1, raw_cap)]))
         nums = jnp.asarray([len(xyz0), len(xyz1)], np.int32)
         xyz_sel, grids = self._quantize(xyz_pair, nums)
-        nvox = np.asarray(grids.num)  # host sync: choose the network bucket
 
-        net_cap = _bucket_for(int(nvox.max()), self.buckets)
-        if net_cap != raw_cap:  # re-bucket the voxelized clouds (device slice)
-            xyz_sel = xyz_sel[:, :net_cap]
-            grids = Grid(coords=grids.coords[:, :net_cap], num=grids.num)
+        def rebucket(cap):
+            if cap == raw_cap:
+                return xyz_sel, grids
+            return xyz_sel[:, :cap], Grid(coords=grids.coords[:, :cap],
+                                          num=grids.num)
 
         # Fused fast path: one device program from features to the polished T
         # (the staged path below remains for the host-KNN dispatch and the
         # feature-matching safeguard, and for per-stage timing).
         if self.knn_search_method != "cpu" and \
                 self.safeguard_method == "correspondence":
-            T_dev, wsum_dev, ov3, ov6, self._rng = self._register_fused(
-                self.fcgf_params, self.fcgf_state, self.inlier_params,
-                self.inlier_state, self._rng, xyz_sel, grids)
+            # Speculative bucket choice: dispatch the fused program at the
+            # last pair's bucket WITHOUT waiting for this pair's voxel counts
+            # — the nvox readback then overlaps the device execution instead
+            # of serializing a full tunnel round trip before it. A too-small
+            # guess would truncate real voxels, so the speculative result is
+            # discarded and recomputed at the correct bucket (one extra
+            # dispatch on bucket growth only; workloads keep a stable bucket).
+            if self._net_cap_guess is None:
+                # First pair: pick the bucket from real voxel counts (avoids
+                # compiling the fused program at a bucket no pair ever uses).
+                nvox = np.asarray(grids.num)
+                guess = _bucket_for(int(nvox.max()), self.buckets)
+                spec = self._register_fused(
+                    self.fcgf_params, self.fcgf_state, self.inlier_params,
+                    self.inlier_state, self._rng, *rebucket(guess))
+            else:
+                guess = min(self._net_cap_guess, raw_cap)
+                spec = self._register_fused(
+                    self.fcgf_params, self.fcgf_state, self.inlier_params,
+                    self.inlier_state, self._rng, *rebucket(guess))
+                nvox = np.asarray(grids.num)  # overlaps the running program
+            net_cap = _bucket_for(int(nvox.max()), self.buckets)
+            self._net_cap_guess = net_cap
+            if net_cap <= guess:
+                T_dev, wsum_dev, ov3, ov6, self._rng = spec
+            else:  # speculation truncated real voxels: redo at the right cap
+                T_dev, wsum_dev, ov3, ov6, self._rng = self._register_fused(
+                    self.fcgf_params, self.fcgf_state, self.inlier_params,
+                    self.inlier_state, spec[4], *rebucket(net_cap))
             T = np.asarray(T_dev, np.float64)  # sync
             wsum = float(wsum_dev)
             if bool(ov3):
@@ -626,6 +653,10 @@ class DeepGlobalRegistration:
                      wsum_threshold)
             log.info("=> DGR takes %.2f s", self.reg_timer.toc(False))
             return T
+
+        nvox = np.asarray(grids.num)  # host sync: choose the network bucket
+        net_cap = _bucket_for(int(nvox.max()), self.buckets)
+        xyz_sel, grids = rebucket(net_cap)
 
         self.feat_timer.tic()
         feats, overflow = self._features(self.fcgf_params, self.fcgf_state,

@@ -135,7 +135,6 @@ def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
     r = ks // 2
     assert ks % 2 == 1 and ez >= ks, "odd kernels within the box only"
     words = build_occupancy_words(table, extent)
-    nwords = words.shape[0]
 
     valid = out_grid.valid_mask()  # [M]
     rel0 = out_grid.coords[:, 0] - table.cmin[0]
@@ -154,8 +153,12 @@ def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
     addr = jnp.where(valid_xy, addr, 0)
     w_idx = addr >> 5
     b = (addr & 31).astype(jnp.uint32)
-    w0 = words[w_idx]
-    w1 = words[jnp.minimum(w_idx + 1, nwords - 1)]
+    # ONE sliced gather for the adjacent word pair (two element gathers here
+    # measured 2x the cost on chip); one pad word keeps the slice in bounds.
+    words_p = jnp.concatenate([words, jnp.zeros((1,), jnp.uint32)])
+    wpair = jax.vmap(lambda a: jax.lax.dynamic_slice(words_p, (a,), (2,)))(
+        w_idx.reshape(-1)).reshape(w_idx.shape + (2,))
+    w0, w1 = wpair[..., 0], wpair[..., 1]
     # 32-bit window starting at bit offset b of the 64-bit concat (b<32, and
     # the needed bit index stays < 32: dz + (zbase - zclamp) <= 2(ks-1) - r).
     win = (w0 >> b) | jnp.where(b == 0, jnp.uint32(0),
@@ -172,6 +175,71 @@ def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
     return jnp.transpose(occ, (0, 3, 2, 1)).reshape(-1, ks ** 3)
 
 
+def _is_odometer_cube(offsets) -> int:
+    """ks if offsets enumerate the full [-r, r]^3 cube in odometer order
+    (dimension 0 fastest — ops/kernel_map.kernel_offsets HYPER_CUBE), else 0."""
+    import numpy as np
+
+    from . import kernel_map
+
+    k = offsets.shape[0]
+    ks = round(k ** (1 / 3))
+    if ks ** 3 != k or ks % 2 != 1:
+        return 0
+    cube = kernel_map.kernel_offsets(ks, 3, kernel_map.HYPER_CUBE)
+    return ks if np.array_equal(np.asarray(offsets), cube) else 0
+
+
+def _cube_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
+                           log2_stride: int, out_grid: Grid,
+                           ks: int) -> jnp.ndarray:
+    """Full-cube kernel map via z-run sliced gathers.
+
+    The z (minor) axis of the dense box is contiguous in memory, so the ks
+    offsets that differ only in dz are ONE sliced gather instead of ks
+    element gathers — 27-offset maps issue 9 slice-loads per row (measured
+    ~2x faster than 27 element gathers on chip). Requires aligned queries
+    (unit == table stride granularity), which holds for conv1/self/down
+    maps; transposed (up) maps query between coarse cells and take the
+    generic path."""
+    ex, ey, ez = (int(e) for e in extent)
+    r = ks // 2
+    if ez < ks:
+        raise ValueError("dense extent z too small for the kernel")
+    valid = out_grid.valid_mask()
+    rel0 = (out_grid.coords[:, 0] - table.cmin[0]) >> log2_stride
+    rel1 = (out_grid.coords[:, 1] - table.cmin[1]) >> log2_stride
+    rel2 = (out_grid.coords[:, 2] - table.cmin[2]) >> log2_stride
+
+    d = jnp.arange(ks, dtype=jnp.int32) - r
+    x = rel0[:, None, None] + d[None, :, None]  # [M, dx, 1]
+    y = rel1[:, None, None] + d[None, None, :]  # [M, 1, dy]
+    valid_xy = ((x >= 0) & (x < ex) & (y >= 0) & (y < ey)
+                & valid[:, None, None])  # [M, dx, dy]
+
+    zbase = rel2 - r
+    zclamp = jnp.clip(zbase, 0, ez - ks)
+    addr = (x * ey + y) * ez + zclamp[:, None, None]
+    addr = jnp.where(valid_xy, addr, 0)
+    dense_p = jnp.concatenate([table.dense,
+                               jnp.full((ks,), -1, jnp.int32)])
+    runs = jax.vmap(lambda a: jax.lax.dynamic_slice(dense_p, (a,), (ks,)))(
+        addr.reshape(-1)).reshape(addr.shape + (ks,))  # [M, dx, dy, run]
+    # Slice index of dz's target: dz + (zbase - zclamp); whenever the target
+    # z is in [0, ez) the index lands in [0, ks) automatically.
+    dz = jnp.arange(ks, dtype=jnp.int32)
+    idx = jnp.clip(dz[None, :] + (zbase - zclamp)[:, None], 0, ks - 1)
+    vals = jnp.take_along_axis(
+        runs, idx[:, None, None, :].astype(jnp.int32),
+        axis=3)  # [M, dx, dy, dz]
+    zq = zbase[:, None] + dz[None, :]
+    zv = (zq >= 0) & (zq < ez)
+    hit = jnp.where(valid_xy[..., None] & zv[:, None, None, :], vals, -1)
+    # [M, dx, dy, dz] -> odometer k = dx + ks*dy + ks^2*dz, transposed to the
+    # [K, M] kernel-map convention.
+    return jnp.transpose(hit, (3, 2, 1, 0)).reshape(ks ** 3, -1)
+
+
 def build_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
                            log2_stride: int, out_grid: Grid, offsets,
                            unit: int, transpose: bool = False) -> jnp.ndarray:
@@ -180,6 +248,9 @@ def build_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
 
     k, d = offsets.shape
     assert d == 3, "dense grid lookup is 3D-only"
+    ks = _is_odometer_cube(offsets)
+    if ks and not transpose and unit == (1 << log2_stride):
+        return _cube_kernel_map_dense(table, extent, log2_stride, out_grid, ks)
     sign = -1 if transpose else 1
     offs = np.asarray(offsets) * unit * sign
     out_valid = out_grid.valid_mask()
