@@ -638,8 +638,11 @@ class DeepGlobalRegistration:
                 T_dev, wsum_dev, ov3, ov6, self._rng = self._register_fused(
                     self.fcgf_params, self.fcgf_state, self.inlier_params,
                     self.inlier_state, spec[4], *rebucket(net_cap))
-            T = np.asarray(T_dev, np.float64)  # sync
-            wsum = float(wsum_dev)
+            # One bundled device->host fetch: separate np.asarray/float/bool
+            # reads each cost a tunnel round trip.
+            T, wsum, ov3, ov6 = jax.device_get((T_dev, wsum_dev, ov3, ov6))
+            T = np.asarray(T, np.float64)
+            wsum = float(wsum)
             if bool(ov3):
                 log.warning(
                     "kernel-map table overflow: entries dropped (cloud exceeds "

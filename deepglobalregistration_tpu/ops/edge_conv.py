@@ -113,14 +113,28 @@ def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
     overflow = jnp.any(jnp.sum(valid, axis=1) > d_cap)
     tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
     onehot = jax.nn.one_hot(tgt, d_cap + 1, dtype=jnp.float32)  # [M, S, D+1]
+    # Values ride the matmul as BASE-256 DIGITS: TPU einsums multiply in
+    # bf16 by default, which rounds integers above 256 — carrying raw row
+    # indices corrupted edges by +-1 on hardware (caught by
+    # tools/tpu_regression_checks.py; exact on CPU f32). Each digit is
+    # <= 255 (bf16-exact), the one-hot is 0/1, and every output column
+    # receives at most one nonzero contribution, so f32 accumulation is
+    # exact.
+    kv = jnp.where(valid, kt_vals + 1, 0)
+    iv = jnp.where(valid, it_vals + 1, 0)
     vals = jnp.stack([
-        jnp.where(valid, kt_vals + 1, 0).astype(jnp.float32),
-        jnp.where(valid, it_vals + 1, 0).astype(jnp.float32),
-    ], axis=1)  # [M, 2, S]
+        (kv & 0xFF).astype(jnp.float32),
+        ((kv >> 8) & 0xFF).astype(jnp.float32),
+        (iv & 0xFF).astype(jnp.float32),
+        ((iv >> 8) & 0xFF).astype(jnp.float32),
+        ((iv >> 16) & 0xFF).astype(jnp.float32),
+    ], axis=1)  # [M, 5, S]
     packed = jnp.einsum("mcs,msd->mcd", vals, onehot)[..., :d_cap]
-    edge_k = jnp.where(packed[:, 0] > 0, packed[:, 0] - 1,
-                       k_total).astype(jnp.int32)
-    edge_in = (packed[:, 1] - 1).astype(jnp.int32)  # empty -> -1
+    dig = packed.astype(jnp.int32)
+    pk = dig[:, 0] + (dig[:, 1] << 8)
+    pi = dig[:, 2] + (dig[:, 3] << 8) + (dig[:, 4] << 16)
+    edge_k = jnp.where(pk > 0, pk - 1, k_total).astype(jnp.int32)
+    edge_in = (pi - 1).astype(jnp.int32)  # empty -> -1
     edge_k = jnp.where(edge_in >= 0, edge_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
                                 (m, d_cap))
@@ -308,6 +322,136 @@ def _chunk_tiles(n_tiles: int) -> int:
     return max(16, min(_TILE_CHUNK_MAX, -(-n_tiles // 32)))
 
 
+def _chunk_products(feats, kernel, c_in, c_k):
+    """Per-edge products of one chunk of tiles: [CT, T, Cout] f32."""
+    w = kernel[jnp.maximum(c_k, 0)]  # [CT, Cin, Cout]
+    x = jnp.where((c_in >= 0)[..., None],
+                  feats[jnp.maximum(c_in, 0)], 0)  # [CT, T, Cin]
+    y = jnp.einsum("ktc,kcd->ktd", x, w, preferred_element_type=jnp.float32)
+    return jnp.where((c_k >= 0)[:, None, None], y, 0.0)
+
+
+def _live_chunks(tk):
+    """Chunks up to the last real tile. Real edges occupy a prefix of the
+    tile array save for small in-bin padding; the trailing dummy bin
+    (per-row d_cap padding, 50-75% of the slots at deep 6D levels) is all -1
+    tiles. A dynamic-bound loop skips it — a lax.cond per chunk does NOT:
+    under the model's vmap the cond becomes a select and both branches
+    execute."""
+    n_chunks, tile_chunk = tk.shape
+    tile_iota = jnp.arange(n_chunks * tile_chunk, dtype=jnp.int32)
+    n_live = jnp.max(jnp.where(tk.reshape(-1) >= 0, tile_iota, -1)) + 1
+    return -(-n_live // tile_chunk)
+
+
+def _int_zeros(*arrays):
+    """float0 cotangents for integer (non-differentiable) array arguments."""
+    import numpy as _np
+
+    return tuple(_np.zeros(a.shape, dtype=jax.dtypes.float0) for a in arrays)
+
+
+@jax.custom_vjp
+def _conv_gather(feats, kernel, tin, tk, out_slots):
+    """Gather-sum composition: materialize every edge's product in tile
+    order, then each output row GATHERS its (static) slots and sums. The
+    scatter-add this replaces ran ~10x slower than the rest of the conv on
+    chip; absent edges point at zeroed padding products, so no masking is
+    needed. Products are stored in the compute dtype (the gather traffic is
+    the cost center) and summed in f32. The fori_loop bound is dynamic
+    (skips the dummy region), so the backward pass runs through the
+    static-bound twin below via custom_vjp."""
+    n_chunks, tile_chunk, t = tin.shape
+    cout = kernel.shape[2]
+
+    def body(c, ys):
+        y = _chunk_products(feats, kernel, tin[c], tk[c]).astype(feats.dtype)
+        return jax.lax.dynamic_update_slice(ys, y[None], (c, 0, 0, 0))
+
+    ys0 = jnp.zeros((n_chunks, tile_chunk, t, cout), feats.dtype)
+    ys = jax.lax.fori_loop(0, _live_chunks(tk), body, ys0)
+    return jnp.sum(ys.reshape(-1, cout)[out_slots], axis=1,
+                   dtype=jnp.float32)  # [M, Cout]
+
+
+def _conv_gather_static(feats, kernel, tin, tk, out_slots):
+    """Differentiable twin of _conv_gather (static scan bound)."""
+    cout = kernel.shape[2]
+
+    def body(_, chunk):
+        return None, _chunk_products(feats, kernel, *chunk).astype(feats.dtype)
+
+    _, ys = jax.lax.scan(body, None, (tin, tk))
+    return jnp.sum(ys.reshape(-1, cout)[out_slots], axis=1, dtype=jnp.float32)
+
+
+def _conv_gather_fwd(feats, kernel, tin, tk, out_slots):
+    return _conv_gather(feats, kernel, tin, tk, out_slots), (
+        feats, kernel, tin, tk, out_slots)
+
+
+def _conv_gather_bwd(res, g):
+    feats, kernel, tin, tk, out_slots = res
+    _, vjp = jax.vjp(
+        lambda f, k: _conv_gather_static(f, k, tin, tk, out_slots),
+        feats, kernel)
+    df, dk = vjp(g)
+    return (df, dk) + _int_zeros(tin, tk, out_slots)
+
+
+_conv_gather.defvjp(_conv_gather_fwd, _conv_gather_bwd)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _conv_scatter(m, feats, kernel, tin, tk, tout):
+    """Scatter-add composition for transposed maps (no static per-row slot
+    pattern). Dynamic loop bound; backward via the static twin."""
+    cout = kernel.shape[2]
+
+    def body(c, acc):
+        y = _chunk_products(feats, kernel, tin[c], tk[c])
+        idx = jnp.where(tout[c] >= 0, tout[c], m)  # padding -> dropped
+        return acc.at[idx.reshape(-1)].add(y.reshape(-1, cout), mode="drop")
+
+    acc0 = jnp.zeros((m, cout), jnp.float32)
+    return jax.lax.fori_loop(0, _live_chunks(tk), body, acc0)
+
+
+def _conv_scatter_static(m, feats, kernel, tin, tk, tout):
+    cout = kernel.shape[2]
+
+    def body(acc, chunk):
+        c_in, c_k, c_out = chunk
+        y = _chunk_products(feats, kernel, c_in, c_k)
+        idx = jnp.where(c_out >= 0, c_out, m)
+        return acc.at[idx.reshape(-1)].add(y.reshape(-1, cout),
+                                           mode="drop"), None
+
+    acc0 = jnp.zeros((m, cout), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (tin, tk, tout))
+    return out
+
+
+def _conv_scatter_fwd(m, feats, kernel, tin, tk, tout):
+    return _conv_scatter(m, feats, kernel, tin, tk, tout), (
+        feats, kernel, tin, tk, tout)
+
+
+def _conv_scatter_bwd(m, res, g):
+    feats, kernel, tin, tk, tout = res
+    _, vjp = jax.vjp(
+        lambda f, k: _conv_scatter_static(m, f, k, tin, tk, tout),
+        feats, kernel)
+    df, dk = vjp(g)
+    return (df, dk) + _int_zeros(tin, tk, tout)
+
+
+_conv_scatter.defvjp(_conv_scatter_fwd, _conv_scatter_bwd)
+
+
 def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
                       bias: jnp.ndarray | None = None,
                       out_rows: int | None = None) -> jnp.ndarray:
@@ -330,55 +474,12 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     tin = tin.reshape(n_chunks, tile_chunk, t)
     tk = tk.reshape(n_chunks, tile_chunk)
 
-    def chunk_products(chunk):
-        """Per-edge products of one chunk of tiles: [CT, T, Cout] f32."""
-        c_in, c_k = chunk
-        w = kernel[jnp.maximum(c_k, 0)]  # [CT, Cin, Cout]
-        x = jnp.where((c_in >= 0)[..., None],
-                      feats[jnp.maximum(c_in, 0)], 0)  # [CT, T, Cin]
-        y = jnp.einsum("ktc,kcd->ktd", x, w,
-                       preferred_element_type=jnp.float32)
-        return jnp.where((c_k >= 0)[:, None, None], y, 0.0)
-
-    # Real edges occupy a prefix of the tile array save for small in-bin
-    # padding; the trailing dummy bin (per-row d_cap padding, 50-75% of the
-    # slots at deep 6D levels) is all -1 tiles. A dynamic-bound loop skips
-    # it — a lax.cond per chunk does NOT: under the model's vmap the cond
-    # becomes a select and both branches execute.
-    tile_iota = jnp.arange(n_tiles + pad_t, dtype=jnp.int32)
-    n_live = jnp.max(jnp.where(tk.reshape(-1) >= 0, tile_iota, -1)) + 1
-    live_chunks = -(-n_live // tile_chunk)
-
     if em.out_slots is not None:
-        # Gather-sum composition: materialize every edge's product in tile
-        # order, then each output row GATHERS its (static) slots and sums.
-        # The scatter-add this replaces ran ~10x slower than the rest of the
-        # conv on chip; absent edges point at zeroed padding products, so no
-        # masking is needed. Products are stored in the compute dtype (the
-        # gather traffic is the cost center) and summed in f32.
-        def body(c, ys):
-            y = chunk_products((tin[c], tk[c])).astype(compute_dtype)
-            return jax.lax.dynamic_update_slice(ys, y[None],
-                                                (c, 0, 0, 0))
-
-        ys0 = jnp.zeros((n_chunks, tile_chunk, t, cout), compute_dtype)
-        ys = jax.lax.fori_loop(0, live_chunks, body, ys0)
-        y_flat = ys.reshape(-1, cout)
-        out = jnp.sum(y_flat[em.out_slots], axis=1,
-                      dtype=jnp.float32)  # [M, Cout]
+        out = _conv_gather(feats, kernel, tin, tk, em.out_slots)
     else:
-        # Transposed maps have no static per-row slot pattern: scatter-add.
         tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
         tout = tout.reshape(n_chunks, tile_chunk, t)
-
-        def body(c, acc):
-            y = chunk_products((tin[c], tk[c]))
-            idx = jnp.where(tout[c] >= 0, tout[c], m)  # padding -> dropped
-            return acc.at[idx.reshape(-1)].add(
-                y.reshape(-1, cout), mode="drop")
-
-        acc0 = jnp.zeros((m, cout), jnp.float32)
-        out = jax.lax.fori_loop(0, live_chunks, body, acc0)
+        out = _conv_scatter(m, feats, kernel, tin, tk, tout)
     if bias is not None:
         out = out + bias
     return out.astype(compute_dtype)

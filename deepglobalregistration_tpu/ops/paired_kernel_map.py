@@ -136,9 +136,16 @@ def _apply_k_table(tab: np.ndarray, pidx: jnp.ndarray,
                 tab, base[:, None] + stride * np.arange(p_n)[None, :]):
             k = jnp.asarray(base).reshape(lead) + stride * pidx
         else:
+            # Base-256 digits: TPU einsums multiply in bf16 (integers > 256
+            # round), so the table values ride the matmul one exact digit at
+            # a time (see edge_conv._rank_compact).
             oh = jax.nn.one_hot(pidx, p_n, dtype=jnp.float32)
-            tv = jnp.asarray((tab + 1).astype(np.float32))
-            k = (jnp.einsum("a...p,ap->a...", oh, tv) - 1).astype(jnp.int32)
+            enc = (tab + 1).astype(np.int64)
+            lo = jnp.asarray((enc & 0xFF).astype(np.float32))
+            hi = jnp.asarray(((enc >> 8) & 0xFF).astype(np.float32))
+            klo = jnp.einsum("a...p,ap->a...", oh, lo).astype(jnp.int32)
+            khi = jnp.einsum("a...p,ap->a...", oh, hi).astype(jnp.int32)
+            k = klo + (khi << 8) - 1
     return jnp.where(in_box, k, -1)
 
 
