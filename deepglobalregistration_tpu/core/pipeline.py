@@ -352,19 +352,19 @@ class DeepGlobalRegistration:
         # batched / multi-chip registration (eval fan-out; SURVEY.md 2.3)
         # ------------------------------------------------------------------
         def register_pair_device(fcgf_params, fcgf_state, inlier_params,
-                                 inlier_state, key, xyz0_p, xyz1_p, n0_raw, n1_raw):
-            """One pair end-to-end on device, no host syncs (vmap/shard-ready).
+                                 inlier_state, key, xyz_sel, grids):
+            """One PRE-VOXELIZED pair end-to-end on device (vmap/shard-ready).
 
-            Unlike register(), the safeguard gate cannot branch on host, so both
-            the refinement and (a reduced-budget) RANSAC run and the result is
-            selected by the weighted-sum gate — the price of batch fusion.
-            Params are ARGUMENTS (not closure constants) so one compiled
-            executable serves updated weights without retracing.
+            Voxelization runs in a separate vmapped phase so the host can
+            re-bucket the batch to the voxel-count capacity before this heavy
+            program runs (at 3DMatch scale the raw bucket is 2x the voxel
+            bucket — running the nets there doubled every stage and ran the
+            batch out of HBM at B=8). Unlike register(), the safeguard gate
+            cannot branch on host, so both the refinement and RANSAC run and
+            the result is selected by the weighted-sum gate — the price of
+            batch fusion. Params are ARGUMENTS (not closure constants) so one
+            compiled executable serves updated weights without retracing.
             """
-            xyz_pair = jnp.stack([xyz0_p, xyz1_p])
-            nums = jnp.stack([n0_raw, n1_raw])
-            xyz_sel, grids = jax.vmap(lambda x, n: sparse_grid.voxelize(x, n, voxel))(
-                xyz_pair, nums)
             plan = jax.vmap(fcgf_spec.build_plan,
                             in_axes=(0, None, None, None, None))(
                 grids, fcgf_cfg, shrink, dense_extent, True)
@@ -412,9 +412,10 @@ class DeepGlobalRegistration:
         # Built ONCE: re-jitting per register_batch call would re-trace (and
         # bake the params in) every invocation — minutes of compile latency on
         # this platform per eval fan-out call.
+        self._quantize_batch = jax.jit(jax.vmap(quantize))
         self._register_batch_jit = jax.jit(jax.vmap(
             register_pair_device,
-            in_axes=(None, None, None, None, 0, 0, 0, 0, 0)))
+            in_axes=(None, None, None, None, 0, 0, 0)))
 
     def register_batch(self, xyz0_list, xyz1_list, mesh=None) -> np.ndarray:
         """Register many pairs in one fused jit, optionally sharded over a
@@ -432,29 +433,38 @@ class DeepGlobalRegistration:
         if mesh is not None:
             nd = mesh.devices.size
             pad_b = -(-b // nd) * nd
-        x0 = np.stack([_pad_cloud(clouds0[i % b], cap) for i in range(pad_b)])
-        x1 = np.stack([_pad_cloud(clouds1[i % b], cap) for i in range(pad_b)])
-        n0 = np.array([len(clouds0[i % b]) for i in range(pad_b)], np.int32)
-        n1 = np.array([len(clouds1[i % b]) for i in range(pad_b)], np.int32)
+        xyz_pair = np.stack([
+            np.stack([_pad_cloud(clouds0[i % b], cap),
+                      _pad_cloud(clouds1[i % b], cap)]) for i in range(pad_b)])
+        nums = np.array([[len(clouds0[i % b]), len(clouds1[i % b])]
+                         for i in range(pad_b)], np.int32)
         self._rng, key = jax.random.split(self._rng)
         keys = jax.random.split(key, pad_b)
 
-        fn = self._register_batch_jit
         params = (self.fcgf_params, self.fcgf_state,
                   self.inlier_params, self.inlier_state)
-        args = (keys, jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(n0),
-                jnp.asarray(n1))
+        sharding = repl = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(mesh, P("data"))
             repl = NamedSharding(mesh, P())
             params = jax.tree.map(lambda a: jax.device_put(a, repl), params)
-            args = tuple(jax.device_put(a, sharding) for a in args)
-            with mesh:
-                T = fn(*params, *args)
-        else:
-            T = fn(*params, *args)
+
+        def put(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, sharding) if sharding is not None else a
+
+        # Phase 1: voxelize at the raw bucket; re-bucket the whole batch to
+        # the voxel-count capacity before the heavy phase (see
+        # register_pair_device's docstring).
+        xyz_sel, grids = self._quantize_batch(put(xyz_pair), put(nums))
+        net_cap = _bucket_for(int(np.asarray(grids.num).max()), self.buckets)
+        if net_cap != cap:
+            xyz_sel = xyz_sel[:, :, :net_cap]
+            grids = Grid(coords=grids.coords[:, :, :net_cap], num=grids.num)
+
+        T = self._register_batch_jit(*params, put(keys), xyz_sel, grids)
         return np.asarray(T)[:b]
 
     # ------------------------------------------------------------------
