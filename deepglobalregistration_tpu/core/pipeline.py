@@ -592,6 +592,68 @@ class DeepGlobalRegistration:
         T[:3, 3] = np.asarray(res.t)
         return T
 
+    def register_many(self, xyz0_list, xyz1_list) -> np.ndarray:
+        """Register a stream of pairs with cross-pair pipelining.
+
+        Semantically identical to calling register() per pair (same fused
+        program, same speculative bucket), but every pair's device programs
+        are dispatched asynchronously and results sync once at the end — the
+        per-pair host round trips that serialize the sequential loop overlap
+        with device execution. Returns [B, 4, 4]. Falls back to sequential
+        register() for the host-KNN / feature-matching-safeguard modes."""
+        if self.knn_search_method == "cpu" or \
+                self.safeguard_method != "correspondence":
+            return np.stack([self.register(a, b)
+                             for a, b in zip(xyz0_list, xyz1_list)])
+
+        inflight = []
+        for xyz0, xyz1 in zip(xyz0_list, xyz1_list):
+            xyz0 = self._as_array(xyz0)
+            xyz1 = self._as_array(xyz1)
+            raw_cap = _bucket_for(max(len(xyz0), len(xyz1)), self.buckets)
+            xyz_pair = jnp.asarray(np.stack([_pad_cloud(xyz0, raw_cap),
+                                             _pad_cloud(xyz1, raw_cap)]))
+            nums = jnp.asarray([len(xyz0), len(xyz1)], np.int32)
+            xyz_sel, grids = self._quantize(xyz_pair, nums)
+
+            if self._net_cap_guess is None:  # first pair: sync for the bucket
+                guess = _bucket_for(int(np.asarray(grids.num).max()),
+                                    self.buckets)
+                self._net_cap_guess = guess
+            guess = min(self._net_cap_guess, raw_cap)
+            xs, gr = xyz_sel, grids
+            if guess != raw_cap:
+                xs = xyz_sel[:, :guess]
+                gr = Grid(coords=grids.coords[:, :guess], num=grids.num)
+            spec = self._register_fused(
+                self.fcgf_params, self.fcgf_state, self.inlier_params,
+                self.inlier_state, self._rng, xs, gr)
+            self._rng = spec[4]
+            inflight.append((spec, xyz_sel, grids, raw_cap, guess))
+
+        out = []
+        for spec, xyz_sel, grids, raw_cap, guess in inflight:
+            net_cap = _bucket_for(int(np.asarray(grids.num).max()),
+                                  self.buckets)
+            self._net_cap_guess = net_cap
+            if net_cap > guess:  # speculation truncated real voxels: redo
+                xs = xyz_sel[:, :net_cap] if net_cap != raw_cap else xyz_sel
+                gr = Grid(coords=grids.coords[:, :net_cap], num=grids.num) \
+                    if net_cap != raw_cap else grids
+                spec = self._register_fused(
+                    self.fcgf_params, self.fcgf_state, self.inlier_params,
+                    self.inlier_state, spec[4], xs, gr)
+                self._rng = spec[4]
+            T, wsum, ov3, ov6 = jax.device_get(spec[:4])
+            if bool(ov3):
+                log.warning("kernel-map table overflow: entries dropped")
+            if bool(ov6):
+                log.warning("6D inlier kernel-map table overflow: "
+                            "entries dropped")
+            log.info("Weighted sum %.2f", float(wsum))
+            out.append(np.asarray(T, np.float64))
+        return np.stack(out)
+
     def register(self, xyz0, xyz1, inlier_thr: float = 0.00) -> np.ndarray:
         """Register xyz0 onto xyz1; returns the 4x4 transform as numpy.
 

@@ -10,12 +10,6 @@ cross-terms catastrophically cancel for exact self-matches) and folds it into
 a running (min, argmin) held in the revisited output block. The full distance
 matrix never exists in HBM.
 
-Per-step cost notes (measured on chip): the VPU min/argmin reduction over the
-[TQ, TC] block dominates, so the kernel (a) folds |f0|^2 in AFTER the grid
-(it is constant per query row and cannot change the argmin), (b) masks
-candidate padding only on the last tile, and (c) uses large candidate tiles
-to amortize per-step fixed costs.
-
 Grid iteration order on TPU is sequential with the last axis fastest, so for
 a fixed query tile i all candidate tiles j visit in order and the output
 block for i acts as an accumulator (initialized at j == 0).
@@ -32,8 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TQ = 512   # query rows per block
-_TC = 2048  # candidate rows per block ([TQ, TC] f32 block + cross ~ 8 MB
-            # VMEM; a (1024, 2048) config wedged the Mosaic compile)
+_TC = 1024  # candidate rows per block
 _BIG = np.float32(3.4e38)
 
 
@@ -42,22 +35,21 @@ def _nn_kernel(num1_ref, f0_ref, f1_ref, d_ref, i_ref):
     f0 = f0_ref[:]  # [TQ, C]
     f1 = f1_ref[:]  # [TC, C]
 
-    # Partial distance: -2 f0.f1 + |f1|^2 (|f0|^2 added after the grid — a
-    # per-query constant shifts every candidate in the row equally, so the
-    # argmin is unchanged).
+    # |f0 - f1|^2 = |f0|^2 - 2 f0.f1 + |f1|^2, cross term on the MXU in f32
     cross = jax.lax.dot_general(
         f0, f1, dimension_numbers=(((1,), (1,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)  # [TQ, TC]
-    n1sq = jnp.sum(f1 * f1, axis=1)
-    d2 = n1sq[None, :] - 2.0 * cross
+    n0sq = jnp.sum(f0 * f0, axis=1, keepdims=True)
+    n1sq = jnp.sum(f1 * f1, axis=1, keepdims=True)
+    d2 = n0sq - 2.0 * cross + n1sq.T
 
     # mask candidate padding (columns beyond num1)
-    col = j * f1.shape[0] + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    col = j * _TC + jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
     d2 = jnp.where(col < num1_ref[0], d2, _BIG)
 
     local_d = jnp.min(d2, axis=1)
-    local_i = (j * f1.shape[0] + jnp.argmin(d2, axis=1)).astype(jnp.int32)
+    local_i = (j * _TC + jnp.argmin(d2, axis=1)).astype(jnp.int32)
 
     @pl.when(j == 0)
     def _():
@@ -85,24 +77,22 @@ def find_nn_pallas(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray,
     n0, c = F0.shape
     n1 = F1.shape[0]
     cp = max(8, -(-c // 8) * 8)
-    tq = _TQ
-    tc = min(_TC, max(1024, -(-n1 // 1024) * 1024))
-    n0p = -(-n0 // tq) * tq
-    n1p = -(-n1 // tc) * tc
+    n0p = -(-n0 // _TQ) * _TQ
+    n1p = -(-n1 // _TC) * _TC
     f0 = jnp.zeros((n0p, cp), jnp.float32).at[:n0, :c].set(
         F0.astype(jnp.float32))
     f1 = jnp.zeros((n1p, cp), jnp.float32).at[:n1, :c].set(
         F1.astype(jnp.float32))
 
-    grid = (n0p // tq, n1p // tc)
+    grid = (n0p // _TQ, n1p // _TC)
     d, idx = pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1,), lambda i, j: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((tq, cp), lambda i, j: (i, 0),
+            pl.BlockSpec((_TQ, cp), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tc, cp), lambda i, j: (j, 0),
+            pl.BlockSpec((_TC, cp), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
         # Mosaic requires output block sublane dims divisible by 8 (or equal
@@ -110,22 +100,20 @@ def find_nn_pallas(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray,
         # that whenever grid[0] > 1, so the result row is carried in a rank-3
         # (1, 8, TQ) block — row 0 holds the data, rows 1-7 are sublane pad.
         out_specs=[
-            pl.BlockSpec((1, 8, tq), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, _TQ), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tq), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 8, _TQ), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((grid[0], 8, tq), jnp.float32),
-            jax.ShapeDtypeStruct((grid[0], 8, tq), jnp.int32),
+            jax.ShapeDtypeStruct((grid[0], 8, _TQ), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], 8, _TQ), jnp.int32),
         ],
         interpret=interpret,
     )(jnp.asarray([num1], jnp.int32), f0, f1)
 
     d = d[:, 0, :].reshape(n0p)[:n0]
     idx = idx[:, 0, :].reshape(n0p)[:n0]
-    # fold the deferred |f0|^2 into the returned distances
-    d = d + jnp.sum(F0.astype(jnp.float32) ** 2, axis=1)
     q_valid = jnp.arange(n0, dtype=jnp.int32) < num0
     # exact scan-path parity: no valid candidate -> (0, +inf)
     matched = d < _BIG

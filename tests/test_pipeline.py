@@ -187,3 +187,13 @@ def test_staged_public_api_composes(rng, dgr):
                                    num_iterations=2048)
     np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=5e-3)
+
+
+def test_register_many_matches_register(rng, dgr):
+    xyz = (rng.rand(600, 3) * 2).astype(np.float32)
+    t = np.array([0.2, -0.1, 0.15], np.float32)
+    Ts = dgr.register_many([xyz, xyz], [xyz + t, xyz + t])
+    T1 = dgr.register(xyz, xyz + t)
+    assert Ts.shape == (2, 4, 4)
+    np.testing.assert_allclose(Ts[0], T1, atol=1e-4)
+    np.testing.assert_allclose(Ts[1], T1, atol=1e-4)
