@@ -312,14 +312,16 @@ class SizedEdgeMap:
 
 
 # Tiles per scan chunk: each chunk is one batched gather + einsum + scatter.
-# Each scan iteration costs ~70us of loop/scatter overhead on chip, so chunks
-# are sized to keep the iteration count ~32 regardless of map size (bounded
-# above so a chunk's gathered activations stay comfortably under VMEM).
-_TILE_CHUNK_MAX = 256
+# Each loop iteration costs ~70us of fixed overhead on chip, so chunks are
+# sized as large as the activation-memory budget allows: a chunk gathers
+# chunk * T rows of Cin (plus the f32 product block), so the cap scales
+# inversely with the channel count.
+_CHUNK_BUDGET_ELEMS = 32768 * 128  # activation elems per chunk (8 MB bf16)
 
 
-def _chunk_tiles(n_tiles: int) -> int:
-    return max(16, min(_TILE_CHUNK_MAX, -(-n_tiles // 32)))
+def _chunk_tiles(n_tiles: int, cin: int, t: int) -> int:
+    cap = _CHUNK_BUDGET_ELEMS // max(cin * t, 1)
+    return max(16, min(cap, n_tiles))
 
 
 def _chunk_products(feats, kernel, c_in, c_k):
@@ -466,7 +468,7 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     compute_dtype = feats.dtype
     kernel = kernel.astype(compute_dtype)
 
-    tile_chunk = _chunk_tiles(n_tiles)
+    tile_chunk = _chunk_tiles(n_tiles, cin, t)
     n_chunks = -(-n_tiles // tile_chunk)
     pad_t = n_chunks * tile_chunk - n_tiles
     tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)), constant_values=-1)

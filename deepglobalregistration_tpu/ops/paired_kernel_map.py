@@ -182,16 +182,18 @@ class PairMultiMap(NamedTuple):
                drops from one packed-bucket row gather (8 slots x 3 words)
                to a single int32 element gather, the dominant plan-build
                cost measured on chip.
-    mem_w0/w1: uint32 [N, B] — the members' packed c1 key words (empty slots
-               hold the all-ones pad word).
-    mem_idx:   int32 [N, B] — the members' original row indices.
+    members:   uint32 [N, 3*B] — per group, B member slots of (c1 word0,
+               c1 word1, row index) packed as ONE contiguous row so a probe
+               costs a single row gather (separate per-field arrays tripled
+               the row-gather count; an interleaved [N, B, 3] layout made
+               XLA decompose the gather into strided per-column scalar
+               gathers — both measured slower on chip). Empty slots hold the
+               all-ones pad word (which doubles as row index -1).
     overflow:  bool — some c0 group has more than B rows (edges dropped).
     """
 
     table: object
-    mem_w0: jnp.ndarray
-    mem_w1: jnp.ndarray
-    mem_idx: jnp.ndarray
+    members: jnp.ndarray
     overflow: jnp.ndarray
 
 
@@ -251,17 +253,19 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     slot = jnp.where(ok, s_g * b_slots + pos, n * b_slots)
     c1w = hashing.pack_rows(c1, valid)
 
-    def fill(vals, pad):
-        out = jnp.full((n * b_slots + 1,), pad, vals.dtype)
-        return out.at[slot].set(vals, mode="drop")[: n * b_slots].reshape(
-            n, b_slots)
-
-    mem_w0 = fill(c1w[0][s_idx], hashing._PAD_WORD)
-    mem_w1 = fill(c1w[1][s_idx], hashing._PAD_WORD)
-    mem_idx = fill(s_idx, jnp.int32(-1))
+    # One packed [N, 3, B] row per group (fields: c1 word0, c1 word1, row
+    # index) so a probe gathers its ~100 contiguous words ONCE — three
+    # separate [N, B] gathers tripled the row-gather count, the measured
+    # cost driver of the deep-level plan build.
+    flat = jnp.full((n * 3 * b_slots + 3,), hashing._PAD_WORD, jnp.uint32)
+    base = jnp.where(ok, s_g * 3 * b_slots + pos, n * 3 * b_slots)
+    flat = flat.at[base].set(c1w[0][s_idx], mode="drop")
+    flat = flat.at[base + b_slots].set(c1w[1][s_idx], mode="drop")
+    flat = flat.at[base + 2 * b_slots].set(
+        s_idx.astype(jnp.uint32), mode="drop")
+    members = flat[: n * 3 * b_slots].reshape(n, 3 * b_slots)
     overflow = (jnp.max(counts[:n]) > b_slots) | table.overflow
-    return PairMultiMap(table=table, mem_w0=mem_w0, mem_w1=mem_w1,
-                        mem_idx=mem_idx, overflow=overflow)
+    return PairMultiMap(table=table, members=members, overflow=overflow)
 
 
 def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
@@ -282,7 +286,7 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
     offs = np.asarray(offsets) * unit
     off0, lo1, box, tab = _split_offset_tables(offs, unit)
     a_n = len(off0)
-    b_slots = mm.mem_w0.shape[1]
+    b_slots = mm.members.shape[1] // 3
     m = c0_out.shape[0]
     validq = jnp.arange(m, dtype=jnp.int32) < num_out
 
@@ -291,9 +295,10 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
     qv = jnp.broadcast_to(validq[None, :], (a_n, m))
     g = _group_lookup(mm.table, qcols, qv, dense_extent, log2_stride)  # [A, M]
     gc = jnp.maximum(g, 0)
-    w0 = mm.mem_w0[gc]  # [A, M, B] — contiguous row gathers (see PairMultiMap)
-    w1 = mm.mem_w1[gc]
-    ridx = mm.mem_idx[gc]
+    rows = mm.members[gc]  # [A, M, 3B] — ONE row gather (see PairMultiMap)
+    w0 = rows[..., :b_slots]
+    w1 = rows[..., b_slots:2 * b_slots]
+    ridx = rows[..., 2 * b_slots:].astype(jnp.int32)  # pad word decodes to -1
     present = (g >= 0)[..., None] & (w0 != hashing._PAD_WORD)
 
     # unpack the members' c1 fields (16-bit packed, see hashing.pack_cols)
