@@ -316,12 +316,15 @@ class SizedEdgeMap:
 # sized as large as the activation-memory budget allows: a chunk gathers
 # chunk * T rows of Cin (plus the f32 product block), so the cap scales
 # inversely with the channel count.
-_CHUNK_BUDGET_ELEMS = 32768 * 128  # activation elems per chunk (8 MB bf16)
+# ~32 iterations per map balances the ~45-70us fixed per-iteration cost
+# against chunk-rounding waste in the product buffer (larger chunks measured
+# NET SLOWER end-to-end: the loop is not iteration-bound, and padding the
+# tile count to bigger chunk multiples grows the zero-initialized buffer).
+_TILE_CHUNK_MAX = 256
 
 
 def _chunk_tiles(n_tiles: int, cin: int, t: int) -> int:
-    cap = _CHUNK_BUDGET_ELEMS // max(cin * t, 1)
-    return max(16, min(cap, n_tiles))
+    return max(16, min(_TILE_CHUNK_MAX, -(-n_tiles // 32)))
 
 
 def _chunk_products(feats, kernel, c_in, c_k):

@@ -67,8 +67,18 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         R, t = procrustes.weighted_procrustes(moved, target[idx], w)
         T_new = se3.rt_to_matrix(R, t) @ T
         idx_new, d2_new, fit_new, rmse_new = evaluate(T_new)
+        # o3d's criteria assume f64: its per-iteration motion converges to
+        # ~1e-15 so |drmse| < 1e-6 fires within a few stable iterations. In
+        # f32 the Procrustes update has a ~1e-6-rotation noise floor and the
+        # rmse delta jitters right at the epsilon, so the loop would always
+        # run max_iteration scans (measured: 30/30 on chip at fitness 1.0).
+        # A relative floor (1e-3 of the current rmse) stops once per-
+        # iteration motion is noise (~3e-6 absolute measured on chip at
+        # 3 cm rmse) — the residual drift over the remaining iterations is
+        # a few percent of rmse at most, far below the success thresholds.
+        rmse_eps = jnp.maximum(relative_rmse, rmse_new * 1e-3)
         done = (jnp.abs(fit_new - fit) < relative_fitness) & \
-               (jnp.abs(rmse_new - rmse) < relative_rmse)
+               (jnp.abs(rmse_new - rmse) < rmse_eps)
         return (T_new, idx_new, d2_new, fit_new, rmse_new, i + 1, done)
 
     init_carry = (T0, idx0, d20, fit0, rmse0, jnp.int32(0), jnp.bool_(False))
