@@ -9,24 +9,19 @@ from __future__ import annotations
 
 import argparse
 
-arg_lists = []
-parser = argparse.ArgumentParser()
-
-
-def add_argument_group(name):
-    arg = parser.add_argument_group(name)
-    arg_lists.append(arg)
-    return arg
+parser = argparse.ArgumentParser(
+    description="DeepGlobalRegistration (TPU-native)")
 
 
 def str2bool(v) -> bool:
+    """Shell-script-friendly boolean flag values ('true'/'false'/'1'/'0')."""
     return str(v).lower() in ("true", "1")
 
 
-logging_arg = add_argument_group("Logging")
+logging_arg = parser.add_argument_group("Logging")
 logging_arg.add_argument("--out_dir", type=str, default="outputs")
 
-trainer_arg = add_argument_group("Trainer")
+trainer_arg = parser.add_argument_group("Trainer")
 trainer_arg.add_argument("--trainer", type=str, default="WeightedProcrustesTrainer")
 trainer_arg.add_argument("--batch_size", type=int, default=4)
 trainer_arg.add_argument("--val_batch_size", type=int, default=1)
@@ -53,7 +48,7 @@ trainer_arg.add_argument("--clip_weight_thresh", type=float, default=0.05,
                          help="Weight threshold for detecting inliers")
 trainer_arg.add_argument("--best_val_metric", type=str, default="succ_rate")
 
-inlier_arg = add_argument_group("Inlier")
+inlier_arg = parser.add_argument_group("Inlier")
 inlier_arg.add_argument("--inlier_model", type=str, default="ResUNetBN2C")
 inlier_arg.add_argument("--inlier_feature_type", type=str, default="ones")
 inlier_arg.add_argument("--inlier_conv1_kernel_size", type=int, default=3)
@@ -61,7 +56,7 @@ inlier_arg.add_argument("--inlier_knn", type=int, default=1)
 inlier_arg.add_argument("--knn_search_method", type=str, default="gpu")
 inlier_arg.add_argument("--inlier_use_direct_loss", type=str2bool, default=True)
 
-feat_arg = add_argument_group("feat")
+feat_arg = parser.add_argument_group("feat")
 feat_arg.add_argument("--feat_model", type=str, default="SimpleNetBN2C")
 feat_arg.add_argument("--feat_model_n_out", type=int, default=16)
 feat_arg.add_argument("--feat_conv1_kernel_size", type=int, default=3)
@@ -69,7 +64,7 @@ feat_arg.add_argument("--normalize_feature", type=str2bool, default=True)
 feat_arg.add_argument("--use_xyz_feature", type=str2bool, default=False)
 feat_arg.add_argument("--dist_type", type=str, default="L2")
 
-opt_arg = add_argument_group("Optimizer")
+opt_arg = parser.add_argument_group("Optimizer")
 opt_arg.add_argument("--optimizer", type=str, default="SGD")
 opt_arg.add_argument("--max_epoch", type=int, default=100)
 opt_arg.add_argument("--lr", type=float, default=1e-1)
@@ -86,7 +81,7 @@ opt_arg.add_argument("--scheduler", type=str, default="ExpLR")
 opt_arg.add_argument("--num_train_iter", type=int, default=-1)
 opt_arg.add_argument("--icp_cache_path", type=str, default="icp")
 
-misc_arg = add_argument_group("Misc")
+misc_arg = parser.add_argument_group("Misc")
 misc_arg.add_argument("--use_gpu", type=str2bool, default=True)  # kept for CLI parity
 misc_arg.add_argument("--weights", type=str, default=None)
 misc_arg.add_argument("--weights_dir", type=str, default=None)  # parity-only (unused in the reference too, config.py:106)
@@ -99,7 +94,7 @@ misc_arg.add_argument("--fast_validation", type=str2bool, default=False)
 misc_arg.add_argument("--nn_max_n", type=int, default=250,
                       help="kept for config parity; the TPU KNN tiles internally")
 
-data_arg = add_argument_group("Data")
+data_arg = parser.add_argument_group("Data")
 data_arg.add_argument("--dataset", type=str, default="ThreeDMatchPairDataset03")
 data_arg.add_argument("--voxel_size", type=float, default=0.025)
 data_arg.add_argument("--threed_match_dir", type=str, default=".")
@@ -107,18 +102,18 @@ data_arg.add_argument("--kitti_dir", type=str, default=None)
 data_arg.add_argument("--kitti_max_time_diff", type=int, default=3)
 data_arg.add_argument("--kitti_date", type=str, default="2011_09_26")
 
-eval_arg = add_argument_group("Eval")
+eval_arg = parser.add_argument_group("Eval")
 eval_arg.add_argument("--hit_ratio_thresh", type=float, default=0.1)
 eval_arg.add_argument("--success_rte_thresh", type=float, default=0.3)
 eval_arg.add_argument("--success_rre_thresh", type=float, default=15)
 eval_arg.add_argument("--test_random_crop", action="store_true")
 eval_arg.add_argument("--test_random_rotation", type=str2bool, default=False)
 
-demo_arg = add_argument_group("Demo")
+demo_arg = parser.add_argument_group("Demo")
 demo_arg.add_argument("--pcd0", default="redkitchen_000.ply", type=str)
 demo_arg.add_argument("--pcd1", default="redkitchen_010.ply", type=str)
 
-tpu_arg = add_argument_group("TPU")
+tpu_arg = parser.add_argument_group("TPU")
 tpu_arg.add_argument("--point_buckets", type=str, default="8192,16384,32768,65536,131072",
                      help="static padded-capacity ladder for point buffers")
 tpu_arg.add_argument("--ransac_hypotheses", type=int, default=16384)

@@ -137,10 +137,11 @@ _D_CAP_6D = 64
 _EDGE_TILE = 128
 # Members per distinct strided c0 in the deeper-level multimaps
 # (ops/paired_kernel_map.PairMultiMap); beyond-cap rows drop with overflow.
-# Measured at 3DMatch scale (30k pts): B=16 overflows at levels 2-3 (6D
-# correspondence grids barely merge under striding), B=32 clears level 2;
-# level-3 residual drops are bounded by the edge-conv d_cap anyway.
-_B_CAP_6D = 32
+# Measured at 3DMatch scale (30k pts): B=16/32 overflowed at levels 2-3 (6D
+# correspondence grids barely merge under striding). B=64 clears the bench
+# cloud; since the flat-row member layout costs one row gather per probe
+# regardless of B (rows just widen), the safer cap measured ~free.
+_B_CAP_6D = 64
 
 
 def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,

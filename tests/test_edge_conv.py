@@ -134,7 +134,12 @@ def test_inlier_net_edge_plan_matches_dense(rng):
     np.testing.assert_allclose(edge, dense, rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("model", ["ResUNetBN2FX", "ResUNetBN2F"])
+# ~50 s of CPU compile per variant: the production HYPER_CUBE model stays in
+# the default tier; the cross-region variant rides the slow tier.
+@pytest.mark.parametrize("model", [
+    pytest.param("ResUNetBN2FX", marks=pytest.mark.slow),
+    "ResUNetBN2F",
+])
 def test_paired_slot_edge_plan_matches_dense(rng, model):
     """Paired (slot-form) edge plan must reproduce the dense paired plan's
     inlier-net output — validates build_edge_slots_paired's static (a,d1)->k
