@@ -144,6 +144,31 @@ def main():
     print(f"pallas 1-NN vs scan: idx_ok={idx_ok} max|d_diff|={d_err:.2e} "
           f"{'ok' if ok else 'MISCOMPILED'}")
 
+    # 6) end-to-end pose recovery on the 3DMatch-scale synthetic pair. With
+    # identical transformed points, even untrained FCGF features match the
+    # corresponding voxels, so register() must recover the synthetic pose to
+    # ~voxel accuracy — a whole-pipeline exactness canary (it would flag the
+    # integer-payload bf16-matmul corruption class this script caught once).
+    from deepglobalregistration_tpu.config import default_config
+    from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
+    from demo import synthetic_pair
+
+    config = default_config(
+        feat_model="ResUNetBN2C", feat_model_n_out=32,
+        feat_conv1_kernel_size=7, inlier_model="ResUNetBN2C",
+        inlier_conv1_kernel_size=3, voxel_size=0.05,
+        inlier_feature_type="ones", dense_extent="256,256,256", bf16=True)
+    dgr = DeepGlobalRegistration(config)
+    xyz0, xyz1, T_gt = synthetic_pair(n=30000, seed=0)
+    T = dgr.register(xyz0, xyz1)
+    re_deg = float(np.degrees(np.arccos(np.clip(
+        (np.trace(T[:3, :3].T @ T_gt[:3, :3]) - 1) / 2, -1, 1))))
+    te = float(np.linalg.norm(T[:3, 3] - T_gt[:3, 3]))
+    ok = re_deg < 1.0 and te < 0.15
+    failures += not ok
+    print(f"e2e synthetic pose recovery: RE={re_deg:.3f} deg TE={te:.3f} m "
+          f"{'ok' if ok else 'MISCOMPILED'}")
+
     if failures:
         print("FAIL: platform miscompilation detected — keep/extend the workarounds!")
         sys.exit(1)
