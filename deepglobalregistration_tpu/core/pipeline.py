@@ -352,7 +352,7 @@ class DeepGlobalRegistration:
         # batched / multi-chip registration (eval fan-out; SURVEY.md 2.3)
         # ------------------------------------------------------------------
         def register_pair_device(fcgf_params, fcgf_state, inlier_params,
-                                 inlier_state, key, xyz_sel, grids):
+                                 inlier_state, xyz_sel, grids):
             """One PRE-VOXELIZED pair end-to-end on device (vmap/shard-ready).
 
             Voxelization runs in a separate vmapped phase so the host can
@@ -360,10 +360,15 @@ class DeepGlobalRegistration:
             program runs (at 3DMatch scale the raw bucket is 2x the voxel
             bucket — running the nets there doubled every stage and ran the
             batch out of HBM at B=8). Unlike register(), the safeguard gate
-            cannot branch on host, so both the refinement and RANSAC run and
-            the result is selected by the weighted-sum gate — the price of
-            batch fusion. Params are ARGUMENTS (not closure constants) so one
-            compiled executable serves updated weights without retracing.
+            cannot branch per pair inside the batch (lax.cond under vmap runs
+            both sides), so this program computes the REFINEMENT answer only
+            and returns the gate scalar: register_batch reruns the rare
+            gate-failing pairs through the sequential fused path, whose
+            lax.cond executes RANSAC for real — a two-pass structure that
+            spares the ~95% of pairs that pass the gate the full 16384-
+            hypothesis RANSAC the round-2 batch path paid unconditionally.
+            Params are ARGUMENTS (not closure constants) so one compiled
+            executable serves updated weights without retracing.
             """
             plan = jax.vmap(fcgf_spec.build_plan,
                             in_axes=(0, None, None, None, None))(
@@ -382,22 +387,13 @@ class DeepGlobalRegistration:
             res = registration.global_registration(
                 xyz0_corr, xyz1_corr, weights,
                 break_threshold_ratio=1e-4, quantization_size=2 * voxel)
-            # Full hypothesis budget: tools/ransac_sweep.py measured 4096
-            # costing half the recall at 5% inliers (11/25 vs 22/25 at 16384);
-            # hypotheses evaluate in parallel, so the budget is quality-only.
-            rr = ransac.ransac_correspondence(
-                key, xyz0_corr, xyz1_corr, grids.num[0], distance_threshold=2 * voxel,
-                num_hypotheses=self.ransac_hypotheses)
-            thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
-            use_refine = wsum >= thresh
-            R = jnp.where(use_refine, res.R, rr.R)
-            t = jnp.where(use_refine, res.t, rr.t)
-            T = se3.rt_to_matrix(R, t)
+            T = se3.rt_to_matrix(res.R, res.t)
             if self.use_icp:
                 T = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T).T
-            return T
+            thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
+            return T, wsum >= thresh
 
         self._quantize = quantize
         self._features = features
@@ -415,14 +411,19 @@ class DeepGlobalRegistration:
         self._quantize_batch = jax.jit(jax.vmap(quantize))
         self._register_batch_jit = jax.jit(jax.vmap(
             register_pair_device,
-            in_axes=(None, None, None, None, 0, 0, 0)))
+            in_axes=(None, None, None, None, 0, 0)))
 
     def register_batch(self, xyz0_list, xyz1_list, mesh=None) -> np.ndarray:
         """Register many pairs in one fused jit, optionally sharded over a
         jax.sharding mesh ('data' axis) for multi-chip evaluation fan-out.
 
-        Returns [B, 4, 4] transforms. Pads the batch to the device count when
-        sharded.
+        Two-pass safeguard: the batched program computes the learned
+        refinement answer only (plus the weighted-sum gate bit); pairs whose
+        gate fails — rare by construction, the gate exists to catch
+        pathological pairs (deep_global_registration.py:276-315) — rerun
+        through the sequential fused path whose lax.cond executes the
+        full-budget RANSAC. Returns [B, 4, 4] transforms. Pads the batch to
+        the device count when sharded.
         """
         clouds0 = [self._as_array(x) for x in xyz0_list]
         clouds1 = [self._as_array(x) for x in xyz1_list]
@@ -438,8 +439,6 @@ class DeepGlobalRegistration:
                       _pad_cloud(clouds1[i % b], cap)]) for i in range(pad_b)])
         nums = np.array([[len(clouds0[i % b]), len(clouds1[i % b])]
                          for i in range(pad_b)], np.int32)
-        self._rng, key = jax.random.split(self._rng)
-        keys = jax.random.split(key, pad_b)
 
         params = (self.fcgf_params, self.fcgf_state,
                   self.inlier_params, self.inlier_state)
@@ -464,8 +463,14 @@ class DeepGlobalRegistration:
             xyz_sel = xyz_sel[:, :, :net_cap]
             grids = Grid(coords=grids.coords[:, :, :net_cap], num=grids.num)
 
-        T = self._register_batch_jit(*params, put(keys), xyz_sel, grids)
-        return np.asarray(T)[:b]
+        T, gate_ok = jax.device_get(
+            self._register_batch_jit(*params, xyz_sel, grids))
+        T = np.array(T[:b])  # writable copy: gate-failing rows are replaced
+        for i in np.nonzero(~np.asarray(gate_ok)[:b])[0]:
+            log.info("register_batch: pair %d failed the weighted-sum gate — "
+                     "rerunning with the RANSAC safeguard", int(i))
+            T[i] = self.register(clouds0[i], clouds1[i])
+        return T
 
     # ------------------------------------------------------------------
     # public API
@@ -640,10 +645,14 @@ class DeepGlobalRegistration:
                 xs = xyz_sel[:, :net_cap] if net_cap != raw_cap else xyz_sel
                 gr = Grid(coords=grids.coords[:, :net_cap], num=grids.num) \
                     if net_cap != raw_cap else grids
+                # Fresh key for the redo: the dispatch loop already advanced
+                # self._rng past this pair (and later in-flight pairs consumed
+                # those keys), so rewinding to spec[4] would correlate RANSAC
+                # hypotheses across pairs and replay used keys.
+                self._rng, redo_key = jax.random.split(self._rng)
                 spec = self._register_fused(
                     self.fcgf_params, self.fcgf_state, self.inlier_params,
-                    self.inlier_state, spec[4], xs, gr)
-                self._rng = spec[4]
+                    self.inlier_state, redo_key, xs, gr)
             T, wsum, ov3, ov6 = jax.device_get(spec[:4])
             if bool(ov3):
                 log.warning("kernel-map table overflow: entries dropped")

@@ -312,10 +312,6 @@ class SizedEdgeMap:
 
 
 # Tiles per scan chunk: each chunk is one batched gather + einsum + scatter.
-# Each loop iteration costs ~70us of fixed overhead on chip, so chunks are
-# sized as large as the activation-memory budget allows: a chunk gathers
-# chunk * T rows of Cin (plus the f32 product block), so the cap scales
-# inversely with the channel count.
 # ~32 iterations per map balances the ~45-70us fixed per-iteration cost
 # against chunk-rounding waste in the product buffer (larger chunks measured
 # NET SLOWER end-to-end: the loop is not iteration-bound, and padding the
@@ -323,7 +319,7 @@ class SizedEdgeMap:
 _TILE_CHUNK_MAX = 256
 
 
-def _chunk_tiles(n_tiles: int, cin: int, t: int) -> int:
+def _chunk_tiles(n_tiles: int) -> int:
     return max(16, min(_TILE_CHUNK_MAX, -(-n_tiles // 32)))
 
 
@@ -471,7 +467,7 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     compute_dtype = feats.dtype
     kernel = kernel.astype(compute_dtype)
 
-    tile_chunk = _chunk_tiles(n_tiles, cin, t)
+    tile_chunk = _chunk_tiles(n_tiles)
     n_chunks = -(-n_tiles // tile_chunk)
     pad_t = n_chunks * tile_chunk - n_tiles
     tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)), constant_values=-1)

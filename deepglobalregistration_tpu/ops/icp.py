@@ -31,10 +31,15 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
                      init: jnp.ndarray | None = None, max_iteration: int = 30,
                      relative_fitness: float = 1e-6,
                      relative_rmse: float = 1e-6,
+                     f32_rmse_floor: float = 1e-3,
                      use_pallas: bool = False) -> ICPResult:
     """source/target: [N, 3] padded; init: [4, 4] initial transform.
     use_pallas: fused 1-NN kernel for the per-iteration spatial scan (TPU,
-    non-vmapped call sites only)."""
+    non-vmapped call sites only).
+    f32_rmse_floor: relative rmse-delta floor compensating f32's Procrustes
+    noise (see the body comment); 0 restores o3d's exact absolute-epsilon
+    criteria (which in f32 runs all max_iteration scans). The pose impact of
+    the floor is bounded by tools/icp_deviation.py."""
     n = source.shape[0]
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
     src_valid = jnp.arange(n, dtype=jnp.int32) < num_src
@@ -76,7 +81,7 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         # iteration motion is noise (~3e-6 absolute measured on chip at
         # 3 cm rmse) — the residual drift over the remaining iterations is
         # a few percent of rmse at most, far below the success thresholds.
-        rmse_eps = jnp.maximum(relative_rmse, rmse_new * 1e-3)
+        rmse_eps = jnp.maximum(relative_rmse, rmse_new * f32_rmse_floor)
         done = (jnp.abs(fit_new - fit) < relative_fitness) & \
                (jnp.abs(rmse_new - rmse) < rmse_eps)
         return (T_new, idx_new, d2_new, fit_new, rmse_new, i + 1, done)

@@ -72,6 +72,26 @@ def main():
     for name, ms in summarize_trace(args.log_dir, top=30).items():
         print(f"  {ms:9.2f}  {name}")
 
+    # Per-source-line attribution of the fused program (needs the compiled
+    # HLO of the same executable the trace ran).
+    from deepglobalregistration_tpu.utils.profiling import attribute_trace
+    from deepglobalregistration_tpu.ops.sparse_grid import Grid
+
+    cap = dgr._net_cap_guess
+    if cap:
+        import jax.numpy as jnp
+
+        xs = jnp.zeros((2, cap, 3), jnp.float32)
+        gr = Grid(coords=jnp.zeros((2, cap, 3), jnp.int32),
+                  num=jnp.zeros((2,), jnp.int32))
+        txt = dgr._register_fused.lower(
+            dgr.fcgf_params, dgr.fcgf_state, dgr.inlier_params,
+            dgr.inlier_state, jax.random.PRNGKey(0), xs, gr
+        ).compile().as_text()
+        print(f"\nper-source-line device ms (bucket {cap}):")
+        for loc, ms in attribute_trace(args.log_dir, txt, top=40).items():
+            print(f"  {ms:9.2f}  {loc}")
+
 
 if __name__ == "__main__":
     main()
