@@ -102,6 +102,11 @@ class WeightedProcrustesTrainer:
             if "fcgf_params" in state:
                 self.fcgf_params = jax.tree.map(jnp.asarray, state["fcgf_params"])
                 self.fcgf_state = jax.tree.map(jnp.asarray, state["fcgf_state"])
+            elif state.get("state_dict") is not None:  # native schema
+                self.fcgf_params = jax.tree.map(
+                    jnp.asarray, state["state_dict"]["params"])
+                self.fcgf_state = jax.tree.map(
+                    jnp.asarray, state["state_dict"]["state"])
 
         # Epoch-level ExponentialLR (trainer.py:110; config exp_gamma). The
         # optimizer is built with UNIT learning rate; the actual per-epoch LR

@@ -11,13 +11,15 @@ from __future__ import annotations
 import torch.utils.data
 
 from .kitti import KITTINMPairDataset, KITTIPairDataset
+from .synthetic import SyntheticPairDataset
 from .threedmatch import (ThreeDMatchPairDataset03, ThreeDMatchPairDataset05,
                           ThreeDMatchPairDataset07)
 from .collate import CollationFunctionFactory
 from . import transforms as t
 
 ALL_DATASETS = [ThreeDMatchPairDataset03, ThreeDMatchPairDataset05,
-                ThreeDMatchPairDataset07, KITTIPairDataset, KITTINMPairDataset]
+                ThreeDMatchPairDataset07, KITTIPairDataset, KITTINMPairDataset,
+                SyntheticPairDataset]
 dataset_str_mapping = {d.__name__: d for d in ALL_DATASETS}
 
 

@@ -136,12 +136,29 @@ EDGE_CONV_6D = True
 _D_CAP_6D = 64
 _EDGE_TILE = 128
 # Members per distinct strided c0 in the deeper-level multimaps
-# (ops/paired_kernel_map.PairMultiMap); beyond-cap rows drop with overflow.
-# Measured at 3DMatch scale (30k pts): B=16/32 overflowed at levels 2-3 (6D
-# correspondence grids barely merge under striding). B=64 clears the bench
-# cloud; since the flat-row member layout costs one row gather per probe
-# regardless of B (rows just widen), the safer cap measured ~free.
-_B_CAP_6D = 64
+# (ops/paired_kernel_map.PairMultiMap), per level; beyond-cap rows drop with
+# overflow. Measured at 3DMatch scale (tools/degree_probe.py, 30k pts):
+# level-1 multiplicity max 8, level-2 max 37, level-3 max 121 (p999 118) — so
+# level 3 gets 128 (the round-2 cap of 64 dropped edges on EVERY bench pair).
+# The flat-row member layout costs one row gather per probe regardless of B
+# (rows just widen), so wider deep-level caps are ~free in probe time.
+_B_CAP_6D = (2, 8, 64, 128)
+# Per-row edge caps (exactness) and live-edge budgets (cost) for the paired
+# 6D plan, from tools/degree_probe.py at 3DMatch scale in BOTH correspondence
+# regimes — they stress different levels:
+#   random matching (untrained features, grids barely merge): per-row self
+#     degree max 5/8/26/156, mean 1.05/1.3/5.4/43 over ~11-14k rows/level;
+#   aligned matching (--aligned, the trained-weights upper bound where every
+#     spatially consistent 3D neighbor is a 6D edge, grids merge ~4x/level):
+#     self max 19/45/81/86, mean 7.8/19/35/42 over 14k/9k/3.5k/1.1k rows.
+# A cap bounds one ROW's degree; the budget bounds the map's TOTAL edges,
+# which is what sizes product buffers and zero-fills — so caps sit above the
+# worst per-row max and budgets above the worst total (rows * mean), each
+# with ~1.7-2x headroom. Overruns drop edges and raise the overflow flag.
+_SELF_CAP_6D = (27, 48, 96, 192)
+_DOWN_CAP_6D = (24, 48, 96)
+_SELF_BUDGET_6D = (12, 18, 16, 48)
+_DOWN_BUDGET_6D = (8, 6, 6)
 
 
 def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
@@ -217,10 +234,21 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
 
         overflow = jnp.asarray(False)
 
+        def budget(per_row, cap):
+            # Budgets trade exactness headroom for buffer size, which only
+            # matters at bench scale; small grids (tests, tiny clouds) are
+            # dense relative to their capacity and keep full buffers.
+            return int(per_row) * cap if cap >= 4096 else None
+
+        # conv1 kernels wider than 3 probe (ks/3)^3 more offsets per row;
+        # scale its budget with the probe count.
+        conv1_per_row = _SELF_BUDGET_6D[0] * max(conv1_kernel_size ** 3 // 27,
+                                                 1)
         sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num, offs1)
         conv1_kmap = ec.SizedEdgeMap(
-            ec.build_edge_map_from_slots(sk, si, offs1.shape[0],
-                                         tile=_EDGE_TILE),
+            ec.build_edge_map_from_slots(
+                sk, si, offs1.shape[0], tile=_EDGE_TILE,
+                live_cap=budget(conv1_per_row, grid0.capacity)),
             grid0.capacity)
         if conv1_kernel_size == 3:
             self0 = conv1_kmap
@@ -228,15 +256,17 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num,
                                                                offs3)
             self0 = ec.SizedEdgeMap(
-                ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
-                                             tile=_EDGE_TILE),
+                ec.build_edge_map_from_slots(
+                    sk, si, offs3.shape[0], tile=_EDGE_TILE,
+                    live_cap=budget(_SELF_BUDGET_6D[0], grid0.capacity)),
                 grid0.capacity)
 
         # Group-size bound: exactly 8^level rows can share a strided c0
-        # (level-0 c0 is unique), capped by the same _D_CAP_6D philosophy
+        # (level-0 c0 is unique), capped per level from measured histograms
         # (beyond-cap edges drop with the overflow flag raised).
         def b_slots(level):
-            return int(min(8 ** level, _B_CAP_6D)) if level else 2
+            cap = _B_CAP_6D[min(level, len(_B_CAP_6D) - 1)]
+            return int(min(8 ** level, cap)) if level else 2
 
         # Dense-grid c0 keys when the 3D box is bounded (one int32 gather per
         # probe instead of a packed hash-bucket row gather — the dominant
@@ -256,14 +286,16 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             mms.append(mm)
 
         # Per-level edge capacity: the tile sort/scatter work is proportional
-        # to M * d_cap, and measured degrees at 3DMatch scale are far below
-        # the global cap on shallow levels (self: max 7/19/89, down: 3/6/15
-        # at levels 1/2/3 on a dense synthetic scan; overflow flags guard).
+        # to M * d_cap, so shallow levels stay tight where measured degrees
+        # allow (tools/degree_probe.py at 3DMatch scale — self-degree max
+        # 8/26/156 at levels 1/2/3, down-degree max 8/26). Level 3 must hold
+        # its full ~156 self-degree: the round-2 cap of 64 truncated edges on
+        # every bench pair (VERDICT r2 #2).
         def self_cap(level):
-            return min(_D_CAP_6D, 16 * 2 ** (level - 1))
+            return _SELF_CAP_6D[min(level, len(_SELF_CAP_6D) - 1)]
 
         def down_cap(level):
-            return min(_D_CAP_6D, 16 * 2 ** max(level - 1, 0))
+            return _DOWN_CAP_6D[min(level, len(_DOWN_CAP_6D) - 1)]
 
         selfs = [self0]
         for i in range(1, n_levels):
@@ -271,9 +303,11 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
                 grids[i].num, offs3, unit=2 ** i,
                 dense_extent=ext(i), log2_stride=i)
-            em = ec.build_edge_map_from_slots(sk, si, offs3.shape[0],
-                                              tile=_EDGE_TILE,
-                                              d_cap=self_cap(i))
+            em = ec.build_edge_map_from_slots(
+                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=self_cap(i),
+                live_cap=budget(
+                    _SELF_BUDGET_6D[min(i, len(_SELF_BUDGET_6D) - 1)],
+                    grids[i].capacity))
             overflow = jnp.logical_or(overflow, em.overflow)
             selfs.append(ec.SizedEdgeMap(em, grids[i].capacity))
         self_kmaps = tuple(selfs)
@@ -285,7 +319,10 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 grids[i + 1].num, offs3, unit=2 ** i,
                 dense_extent=ext(i), log2_stride=i)
             dn, up = ec.build_edge_maps_down_up_from_slots(
-                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i))
+                sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i),
+                live_cap=budget(
+                    _DOWN_BUDGET_6D[min(i, len(_DOWN_BUDGET_6D) - 1)],
+                    grids[i + 1].capacity))
             overflow = jnp.logical_or(overflow, dn.overflow)
             downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
             ups.append(ec.SizedEdgeMap(up, grids[i].capacity))

@@ -43,14 +43,25 @@ class EdgeMap(NamedTuple):
     tile_k:   [NT] int32 kernel offset of every edge in the tile (-1 = padding
               tile; tiles never mix offsets)
     overflow: bool — some row had more than d_cap valid offsets (edges lost)
-    out_slots: int32 [M, D] or None — for maps whose edge list has a static
-              per-output-row slot pattern (everything except transposed
-              maps), the flat tile positions of output row m's edges. The
-              convolution then composes its output by GATHERING the per-edge
-              products (y[out_slots].sum(1)) instead of scatter-adding them —
-              the scatter measured ~10x the cost of the whole rest of the
-              conv on chip. Positions of absent edges land in padding/dummy
-              tiles whose products are zeroed, so no masking is needed.
+    out_slots: int32 [M_pad, D] or None — for maps whose edge list has a
+              static per-output-row slot pattern (everything except
+              transposed maps), the flat tile positions of each output row's
+              edges: FRONT-PACKED per row (-1 tail) and rows DEGREE-SORTED
+              descending. The convolution composes its output by GATHERING
+              per-edge products (the scatter-add it replaces measured ~10x
+              the rest of the conv), and the degree sort lets it gather each
+              row at roughly its own degree instead of the worst-case cap D:
+              rows are processed in contiguous degree tiers of static widths
+              (_tier_widths) with DYNAMIC chunk bounds (tier_bounds), so
+              gather cost tracks live edges. The flat [M_pad, D] slot gather
+              this replaces ran at the bench shape's caps-x-capacity product
+              (~2G elements, ~380 ms/pair) even when 97% of slots were empty.
+    row_inv:  int32 [M] or None — original row -> its position in the degree
+              sort (acc[row_inv] unsorts the output).
+    tier_bounds: int32 [T+1] or None — tier t (width _tier_widths(D)[t])
+              covers sorted rows [tier_bounds[t+1], tier_bounds[t]);
+              tier_bounds[0] = #rows with degree > 0 (all-zero rows are never
+              touched), tier_bounds[T] = 0.
     """
 
     tile_in: jnp.ndarray
@@ -58,27 +69,33 @@ class EdgeMap(NamedTuple):
     tile_k: jnp.ndarray
     overflow: jnp.ndarray
     out_slots: jnp.ndarray | None = None
+    row_inv: jnp.ndarray | None = None
+    tier_bounds: jnp.ndarray | None = None
 
     @property
     def tile(self) -> int:
         return self.tile_in.shape[1]
 
 
-def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128) -> EdgeMap:
+def build_edge_map(kmap: jnp.ndarray, d_cap: int, tile: int = 128,
+                   live_cap: int | None = None) -> EdgeMap:
     """Convert a dense kernel map idx[K, M] into a tile-blocked edge list.
 
     d_cap: static per-row edge capacity (27 is exact for paired 6D level-0
     maps; deeper levels use a configured cap with the overflow flag).
+    live_cap: total live-edge budget in slots (see _edges_to_tiles).
     """
     edge_k, edge_in, edge_out, k_total, tile_sz, overflow = _compact_edges(
         kmap, d_cap, tile)
     m = kmap.shape[1]
     return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
-                           overflow, slot_shape=(m, edge_k.shape[0] // m))
+                           overflow, slot_shape=(m, edge_k.shape[0] // m),
+                           live_cap=live_cap)
 
 
 def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
-                            tile: int = 128) -> tuple:
+                            tile: int = 128,
+                            live_cap: int | None = None) -> tuple:
     """(down, up) edge maps from ONE dense strided kernel map.
 
     A transposed convolution's map is the SAME edge set with input and output
@@ -91,9 +108,10 @@ def build_edge_maps_down_up(kmap_down: jnp.ndarray, d_cap: int,
         kmap_down, d_cap, tile)
     m = kmap_down.shape[1]
     down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile_sz,
-                           overflow, slot_shape=(m, edge_k.shape[0] // m))
+                           overflow, slot_shape=(m, edge_k.shape[0] // m),
+                           live_cap=live_cap)
     up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile_sz,
-                         overflow)
+                         overflow, live_cap=live_cap)
     return down, up
 
 
@@ -167,7 +185,8 @@ def _compact_slot_edges(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
 
 def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
                               k_total: int, tile: int = 128,
-                              d_cap: int | None = None) -> EdgeMap:
+                              d_cap: int | None = None,
+                              live_cap: int | None = None) -> EdgeMap:
     """Build the tile-blocked edge list from slot-form maps [S, M]: slot_k is
     the kernel-offset index per (slot, output row) and slot_in the input row
     (-1 in either = no edge). Used by the paired/multimap 6D builders, which
@@ -181,20 +200,22 @@ def build_edge_map_from_slots(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
         edge_k, edge_in, edge_out, overflow = _compact_slot_edges(
             slot_k, slot_in, k_total, d_cap)
         return _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile,
-                               overflow, slot_shape=(m, d_cap))
+                               overflow, slot_shape=(m, d_cap),
+                               live_cap=live_cap)
     valid = (slot_k >= 0) & (slot_in >= 0)
     edge_k = jnp.where(valid, slot_k, k_total)
     edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (s, m))
     return _edges_to_tiles(edge_k.reshape(-1), slot_in.reshape(-1),
                            edge_out.reshape(-1), k_total, tile,
                            jnp.asarray(False), slot_shape=(s, m),
-                           transpose_slots=True)
+                           transpose_slots=True, live_cap=live_cap)
 
 
 def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
                                        slot_in: jnp.ndarray, k_total: int,
                                        tile: int = 128,
-                                       d_cap: int | None = None) -> tuple:
+                                       d_cap: int | None = None,
+                                       live_cap: int | None = None) -> tuple:
     """(down, up) edge maps from slot-form maps of the strided DOWN conv
     (outputs = coarse rows). The up map is the same edge set with input and
     output exchanged (see build_edge_maps_down_up)."""
@@ -213,15 +234,18 @@ def build_edge_maps_down_up_from_slots(slot_k: jnp.ndarray,
         shape, tr = (s, m), True
     edge_in = jnp.where(edge_k < k_total, edge_in, -1)
     down = _edges_to_tiles(edge_k, edge_in, edge_out, k_total, tile, overflow,
-                           slot_shape=shape, transpose_slots=tr)
-    up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile, overflow)
+                           slot_shape=shape, transpose_slots=tr,
+                           live_cap=live_cap)
+    up = _edges_to_tiles(edge_k, edge_out, edge_in, k_total, tile, overflow,
+                         live_cap=live_cap)
     return down, up
 
 
 def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
                     edge_out: jnp.ndarray, k_total: int, tile: int,
                     overflow: jnp.ndarray, slot_shape=None,
-                    transpose_slots: bool = False) -> EdgeMap:
+                    transpose_slots: bool = False,
+                    live_cap: int | None = None) -> EdgeMap:
     """Sort edges by offset, pad each offset's bin to a tile multiple, and
     scatter into single-offset tiles. Invalid edges carry k = k_total (a dummy
     trailing bin whose tiles stay marked -1 and are skipped at compute).
@@ -229,7 +253,15 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
     slot_shape: when the INCOMING flat edge order has a static per-output-row
     pattern (row-major [M, D], or [S, M] with transpose_slots=True), also
     compute EdgeMap.out_slots — the tile position of every incoming edge,
-    recovered by a second cheap sort — enabling the gather-sum convolution."""
+    recovered by a second cheap sort — enabling the gather-sum convolution.
+
+    live_cap: static budget (in edge slots, rounded up to whole tiles) for
+    the tile buffers. The per-row cap (d_cap) bounds each ROW's degree; this
+    bounds the map's TOTAL live edges, which is what actually sizes the
+    product buffers: without it they span all M*d_cap slots even though the
+    trailing dummy bin is typically 50-90%% empty. Real edges past the budget
+    are dropped with the overflow flag raised. None = no budget (buffers
+    cover every slot)."""
     e = edge_k.shape[0]
     # Single-key sort carrying the payloads: the argsort-then-gather form
     # spent ~24 ms per e-sized payload gather on chip (3 gathers per map);
@@ -260,21 +292,47 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
         jnp.minimum(starts_raw, e)].add(jumps, mode="drop")[:e]
     pos = jnp.arange(e, dtype=jnp.int32) + jnp.cumsum(jump_e)
 
-    out_slots = None
+    # Live region = every real bin's padded extent; the dummy (k_total) bin
+    # begins at starts_pad[k_total]. With a budget, buffers stop there.
+    live_end = starts_pad[k_total]
+    if live_cap is None:
+        # static upper bound on padded length, rounded to a whole tile count
+        e_pad = -(-(e + (k_total + 1) * tile) // tile) * tile
+    else:
+        e_pad = -(-live_cap // tile) * tile
+        # >= (not >): the final slot is forced dummy below, so an exactly-
+        # full budget must flag rather than silently lose that one edge.
+        overflow = jnp.logical_or(overflow, live_end >= e_pad)
+
+    out_slots = row_inv = tier_bounds = None
     if slot_shape is not None:
         # Tile position of each INCOMING edge: sort (original index, pos)
         # back to input order — a second e-sized sort (~1 ms) instead of an
-        # e-sized inverse-permutation scatter (~15 ms on chip).
+        # e-sized inverse-permutation scatter (~15 ms on chip). Dummy slots
+        # (and budget-dropped edges) become -1: the gather-sum conv redirects
+        # them to one appended zero product row, a cache-resident read,
+        # instead of scattering reads across the dummy bin.
         _, back = jax.lax.sort((s_orig, pos), num_keys=1)
+        back = jnp.where((back < live_end) & (back < e_pad), back, -1)
         out_slots = back.reshape(slot_shape)
         if transpose_slots:
             out_slots = out_slots.T
+        out_slots, row_inv, tier_bounds = _degree_sort_slots(out_slots)
 
-    # static upper bound on padded length, rounded to a whole tile count
-    e_pad = -(-(e + (k_total + 1) * tile) // tile) * tile
     n_tiles = e_pad // tile
-    tile_in = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_in)
-    tile_out = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_out)
+    tile_in = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_in, mode="drop")
+    # Force the final slot dummy: its product is then zero in every path
+    # (_chunk_products zeroes c_in < 0), giving the tiered slot-sum a known-
+    # zero row for absent edges without appending one (a full-buffer copy).
+    # Only an exactly-at-budget map could lose a real edge here — flagged
+    # above. Gather-composed maps never read tile_out; skip its e-sized
+    # scatter (~26 ms/pair across the 6D maps at bench shape).
+    tile_in = tile_in.at[-1].set(-1)
+    if slot_shape is not None:
+        tile_out = jnp.full(e_pad, -1, jnp.int32)
+    else:
+        tile_out = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_out,
+                                                              mode="drop")
     # A tile's offset: every tile lies inside one bin (bins are tile-aligned),
     # so its k is the bin that contains its first slot — a searchsorted over
     # the K+1 static bin boundaries (an e-sized scatter-max here measured
@@ -289,7 +347,62 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
 
     return EdgeMap(tile_in=tile_in.reshape(n_tiles, tile),
                    tile_out=tile_out.reshape(n_tiles, tile),
-                   tile_k=tile_k, overflow=overflow, out_slots=out_slots)
+                   tile_k=tile_k, overflow=overflow, out_slots=out_slots,
+                   row_inv=row_inv, tier_bounds=tier_bounds)
+
+
+def _tier_widths(d: int) -> tuple:
+    """Static degree-tier widths for a slot matrix of width d: geometric
+    (4, 16, 64, 256, ...) capped at d. A row of degree g is gathered at the
+    narrowest width >= g, bounding gather waste at ~4x mean degree instead of
+    the cap d (10-40x above mean at the bench shape's deep 6D levels)."""
+    ws = []
+    w = 4
+    while w < d:
+        ws.append(w)
+        w *= 4
+    ws.append(d)
+    return tuple(ws)
+
+
+def _row_chunk(m: int, w: int = 4) -> int:
+    """Rows per tier-loop iteration for tier width w: targets ~8k gathered
+    slots per iteration, so a WIDE tier's boundary chunk (one chunk can cost
+    ch*w*cout gather elements even when only a handful of rows are that
+    heavy) stays as bounded as a narrow tier's. Power of two <= row count so
+    every tier's chunk divides the padded row count (rows pad to the widest,
+    i.e. largest, chunk)."""
+    c = 8
+    while c * 2 <= min(m, 2048) and c * 2 * w <= 8192:
+        c *= 2
+    return c
+
+
+def _degree_sort_slots(out_slots: jnp.ndarray):
+    """Front-pack each row's slots, sort rows by degree (descending), and
+    compute the per-tier row bounds. Returns (sorted_slots [M_pad, D],
+    row_inv [M], tier_bounds [T+1]); see EdgeMap."""
+    m, d = out_slots.shape
+    big = jnp.int32(np.iinfo(np.int32).max)
+    packed = jnp.sort(jnp.where(out_slots >= 0, out_slots, big), axis=1)
+    packed = jnp.where(packed == big, -1, packed)
+    deg = jnp.sum(packed >= 0, axis=1).astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    neg_sorted, perm = jax.lax.sort((-deg, iota), num_keys=1)
+    _, row_inv = jax.lax.sort((perm, iota), num_keys=1)
+    sorted_slots = packed[perm]
+    ws = _tier_widths(d)
+    # rows with degree > w form the prefix [0, cnt(w)); cnt by binary search
+    # over the ascending -deg
+    qs = -jnp.asarray((0,) + ws[:-1], jnp.int32)
+    bounds = jnp.searchsorted(neg_sorted, qs, side="left").astype(jnp.int32)
+    tier_bounds = jnp.concatenate([bounds, jnp.zeros(1, jnp.int32)])
+    ch = _row_chunk(m)
+    m_pad = -(-m // ch) * ch
+    if m_pad > m:
+        sorted_slots = jnp.pad(sorted_slots, ((0, m_pad - m), (0, 0)),
+                               constant_values=-1)
+    return sorted_slots, row_inv, tier_bounds
 
 
 @jax.tree_util.register_pytree_node_class
@@ -353,14 +466,15 @@ def _int_zeros(*arrays):
 
 
 @jax.custom_vjp
-def _conv_gather(feats, kernel, tin, tk, out_slots):
+def _conv_gather(feats, kernel, tin, tk, out_slots, row_inv, tier_bounds):
     """Gather-sum composition: materialize every edge's product in tile
-    order, then each output row GATHERS its (static) slots and sums. The
-    scatter-add this replaces ran ~10x slower than the rest of the conv on
-    chip; absent edges point at zeroed padding products, so no masking is
-    needed. Products are stored in the compute dtype (the gather traffic is
-    the cost center) and summed in f32. The fori_loop bound is dynamic
-    (skips the dummy region), so the backward pass runs through the
+    order, then each output row GATHERS its slots and sums (the scatter-add
+    this replaces ran ~10x slower on chip). Products are stored in the
+    compute dtype (the gather traffic is the cost center) and summed in f32.
+    Rows are processed in degree tiers (see EdgeMap.out_slots): each tier's
+    fori_loop bound is dynamic, so a map whose live degrees sit far below
+    the exactness cap D gathers only what exists. The product loop bound is
+    dynamic too (skips the dummy region); backward runs through the
     static-bound twin below via custom_vjp."""
     n_chunks, tile_chunk, t = tin.shape
     cout = kernel.shape[2]
@@ -371,33 +485,83 @@ def _conv_gather(feats, kernel, tin, tk, out_slots):
 
     ys0 = jnp.zeros((n_chunks, tile_chunk, t, cout), feats.dtype)
     ys = jax.lax.fori_loop(0, _live_chunks(tk), body, ys0)
-    return jnp.sum(ys.reshape(-1, cout)[out_slots], axis=1,
-                   dtype=jnp.float32)  # [M, Cout]
+    return _slot_sum_tiered(ys, out_slots, row_inv, tier_bounds, cout)
 
 
-def _conv_gather_static(feats, kernel, tin, tk, out_slots):
-    """Differentiable twin of _conv_gather (static scan bound)."""
+def _slot_sum_tiered(ys, out_slots, row_inv, tier_bounds, cout):
+    """Degree-tiered per-row gather-sum of edge products. -1 slots (absent
+    edges) read one appended zero row — a cache-resident address. Tier t
+    covers degree-sorted rows [tier_bounds[t+1], tier_bounds[t]) and gathers
+    only its static width; chunks straddling a tier boundary keep the
+    neighbor tier's rows via a mask (both tiers process the chunk, each
+    writing only its own rows)."""
+    # The product buffer's final slot is guaranteed zero (sparse_conv_edges
+    # pads at least one trailing -1 tile slot, never written by the dynamic-
+    # bound product loop and zeroed by _chunk_products in the static twin),
+    # so absent edges read it instead of paying a full-buffer concatenate to
+    # append a zero row (~18 ms/pair at the bench shape).
+    flat = ys.reshape(-1, cout)
+    zero_row = flat.shape[0] - 1
+    m_pad, d = out_slots.shape
+    m = row_inv.shape[0]
+    acc0 = jnp.zeros((m_pad, cout), jnp.float32)
+
+    def tier(j, w, acc):
+        start = tier_bounds[j + 1]
+        end = tier_bounds[j]
+        ch = _row_chunk(m, w)
+
+        def body(c, a):
+            sl = jax.lax.dynamic_slice(out_slots, (c * ch, 0), (ch, w))
+            g = jnp.where(sl >= 0, sl, zero_row)
+            part = jnp.sum(flat[g], axis=1, dtype=jnp.float32)
+            ridx = c * ch + jnp.arange(ch, dtype=jnp.int32)
+            keep = (ridx >= start) & (ridx < end)
+            cur = jax.lax.dynamic_slice(a, (c * ch, 0), (ch, cout))
+            return jax.lax.dynamic_update_slice(
+                a, jnp.where(keep[:, None], part, cur), (c * ch, 0))
+
+        return jax.lax.fori_loop(start // ch, -(-end // ch), body, acc)
+
+    acc = acc0
+    for j, w in enumerate(_tier_widths(d)):
+        acc = tier(j, w, acc)
+    return acc[row_inv]  # [M, Cout] in original row order
+
+
+def _slot_sum_static(ys, out_slots, row_inv, cout):
+    """Static full-width twin of _slot_sum_tiered (differentiable). The
+    final slot is zero here too: the static scan writes every chunk, and
+    _chunk_products zeroes dummy (-1) tile slots."""
+    flat = ys.reshape(-1, cout)
+    slots = jnp.where(out_slots >= 0, out_slots, flat.shape[0] - 1)
+    return jnp.sum(flat[slots], axis=1, dtype=jnp.float32)[row_inv]
+
+
+def _conv_gather_static(feats, kernel, tin, tk, out_slots, row_inv):
+    """Differentiable twin of _conv_gather (static bounds throughout)."""
     cout = kernel.shape[2]
 
     def body(_, chunk):
         return None, _chunk_products(feats, kernel, *chunk).astype(feats.dtype)
 
     _, ys = jax.lax.scan(body, None, (tin, tk))
-    return jnp.sum(ys.reshape(-1, cout)[out_slots], axis=1, dtype=jnp.float32)
+    return _slot_sum_static(ys, out_slots, row_inv, cout)
 
 
-def _conv_gather_fwd(feats, kernel, tin, tk, out_slots):
-    return _conv_gather(feats, kernel, tin, tk, out_slots), (
-        feats, kernel, tin, tk, out_slots)
+def _conv_gather_fwd(feats, kernel, tin, tk, out_slots, row_inv, tier_bounds):
+    return _conv_gather(feats, kernel, tin, tk, out_slots, row_inv,
+                        tier_bounds), (
+        feats, kernel, tin, tk, out_slots, row_inv, tier_bounds)
 
 
 def _conv_gather_bwd(res, g):
-    feats, kernel, tin, tk, out_slots = res
+    feats, kernel, tin, tk, out_slots, row_inv, tier_bounds = res
     _, vjp = jax.vjp(
-        lambda f, k: _conv_gather_static(f, k, tin, tk, out_slots),
+        lambda f, k: _conv_gather_static(f, k, tin, tk, out_slots, row_inv),
         feats, kernel)
     df, dk = vjp(g)
-    return (df, dk) + _int_zeros(tin, tk, out_slots)
+    return (df, dk) + _int_zeros(tin, tk, out_slots, row_inv, tier_bounds)
 
 
 _conv_gather.defvjp(_conv_gather_fwd, _conv_gather_bwd)
@@ -476,7 +640,8 @@ def sparse_conv_edges(feats: jnp.ndarray, kernel: jnp.ndarray, em: EdgeMap,
     tk = tk.reshape(n_chunks, tile_chunk)
 
     if em.out_slots is not None:
-        out = _conv_gather(feats, kernel, tin, tk, em.out_slots)
+        out = _conv_gather(feats, kernel, tin, tk, em.out_slots,
+                           em.row_inv, em.tier_bounds)
     else:
         tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)), constant_values=-1)
         tout = tout.reshape(n_chunks, tile_chunk, t)

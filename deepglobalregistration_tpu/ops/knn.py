@@ -30,11 +30,27 @@ _INF = np.float32(np.inf)  # numpy: avoid backend init at import
 
 
 def pallas_ok() -> bool:
-    """Whether the fused Pallas 1-NN kernel should be used (TPU backend).
-    Callers must still pass use_pallas=False from vmapped contexts."""
+    """Whether the fused Pallas 1-NN kernel should be used (direct-attached
+    TPU backends only). Callers must still pass use_pallas=False from vmapped
+    contexts.
+
+    Excluded on the tunneled 'axon' backend: Mosaic custom-call dispatches
+    there pay a content-dependent cost that scales with input entropy —
+    measured 86 ms per (16384, 32) call on random features vs 0.7 ms on
+    compressible inputs (tools/nn_bench.py chained timings; the XLA scan path
+    runs the same shape in ~4 ms flat). Override with DGR_FORCE_PALLAS=1.
+    """
+    import os as _os
+
     import jax as _j
 
-    return _j.default_backend() == "tpu"
+    if _os.environ.get("DGR_FORCE_PALLAS") == "1":
+        return True
+    if _j.default_backend() != "tpu":
+        return False
+    # The axon plugin reports platform 'tpu'; only platform_version names it.
+    ver = getattr(_j.devices()[0].client, "platform_version", "")
+    return "axon" not in ver
 
 
 def find_nn(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray, num1: jnp.ndarray,

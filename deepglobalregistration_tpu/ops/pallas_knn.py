@@ -76,7 +76,11 @@ def find_nn_pallas(F0: jnp.ndarray, F1: jnp.ndarray, num0: jnp.ndarray,
     """
     n0, c = F0.shape
     n1 = F1.shape[0]
-    cp = max(8, -(-c // 8) * 8)
+    # Minimum 32 channels: a (rows, 8) block leaves the minor (lane) dim at 8
+    # of 128, and Mosaic's resulting layout ran the xyz (c=3) case ~80x slower
+    # than c=32 on chip (tools/nn_bench.py: 4.8 ms vs 0.06 ms for the SAME row
+    # counts). Zero-padding channels never changes distances.
+    cp = max(32, -(-c // 8) * 8)
     n0p = -(-n0 // _TQ) * _TQ
     n1p = -(-n1 // _TC) * _TC
     f0 = jnp.zeros((n0p, cp), jnp.float32).at[:n0, :c].set(

@@ -208,3 +208,41 @@ def test_up_map_derived_from_down_edges(rng):
     got = np.asarray(edge_conv.sparse_conv_edges(
         jnp.asarray(feats), jnp.asarray(kern), up_em, out_rows=cap))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_edge_conv_live_budget(rng, transposed):
+    """live_cap >= actual edges: exact output, no overflow, smaller tile
+    buffers. live_cap < actual edges: overflow flag raised. Covers both the
+    gather-sum (out_slots) and scatter (transposed up-map) compositions."""
+    n = m = 256
+    k, cin, cout, tile = 27, 4, 8, 32
+    kmap = _random_kmap(rng, k, m, n, 0.3)
+    feats = rng.randn(n, cin).astype(np.float32)
+    kernel = rng.randn(k, cin, cout).astype(np.float32)
+    n_edges = int((kmap >= 0).sum())
+
+    def build(live_cap):
+        if transposed:
+            _, up = edge_conv.build_edge_maps_down_up(
+                jnp.asarray(kmap), d_cap=27, tile=tile, live_cap=live_cap)
+            return up
+        return edge_conv.build_edge_map(jnp.asarray(kmap), d_cap=27,
+                                        tile=tile, live_cap=live_cap)
+
+    # generous budget: exact equivalence with the unbudgeted map
+    full = build(None)
+    em = build(n_edges + k * tile)  # every bin's tile padding fits
+    assert not bool(em.overflow)
+    assert em.tile_in.shape[0] < full.tile_in.shape[0]
+    ref = np.asarray(edge_conv.sparse_conv_edges(
+        jnp.asarray(feats), jnp.asarray(kernel), full,
+        out_rows=n if transposed else m))
+    got = np.asarray(edge_conv.sparse_conv_edges(
+        jnp.asarray(feats), jnp.asarray(kernel), em,
+        out_rows=n if transposed else m))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # starved budget: overflow flag fires
+    tiny = build(tile * 2)
+    assert bool(tiny.overflow)

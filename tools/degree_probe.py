@@ -110,14 +110,16 @@ def current_caps(n_levels: int) -> dict:
     from deepglobalregistration_tpu.models import unet_plan as up
 
     def b_slots(level):
-        return int(min(8 ** level, up._B_CAP_6D)) if level else 2
+        cap = up._B_CAP_6D[min(level, len(up._B_CAP_6D) - 1)]
+        return int(min(8 ** level, cap)) if level else 2
 
     def self_cap(level):
-        return min(up._D_CAP_6D, 16 * 2 ** (level - 1)) if level \
+        caps = up._SELF_CAP_6D
+        return caps[min(level, len(caps) - 1)] if level \
             else 27  # level-0 slots are exact (27 wide)
 
     def down_cap(level):
-        return min(up._D_CAP_6D, 16 * 2 ** max(level - 1, 0))
+        return up._DOWN_CAP_6D[min(level, len(up._DOWN_CAP_6D) - 1)]
 
     return {"b_slots": [b_slots(i) for i in range(n_levels)],
             "self_cap": [self_cap(i) for i in range(n_levels)],
@@ -129,7 +131,34 @@ def main():
     ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--n", type=int, default=30000)
     ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--aligned", action="store_true",
+                    help="perfect correspondences (c1 = voxelized GT "
+                         "transform of each c0 point) instead of "
+                         "random-weight feature matches — the upper bound of "
+                         "spatial consistency, which is what TRAINED weights "
+                         "approach: every consistent 3D neighbor becomes a "
+                         "6D edge, so degrees are far higher than under "
+                         "random matching. No TPU or model needed.")
     args = ap.parse_args()
+
+    if args.aligned:
+        from demo import synthetic_pair
+
+        from deepglobalregistration_tpu import native
+
+        voxel = 0.05
+        print(json.dumps({"caps": current_caps(args.levels),
+                          "mode": "aligned"}))
+        for seed in range(args.seeds):
+            xyz0, xyz1, T_gt = synthetic_pair(n=args.n, seed=seed)
+            p0, c0 = native.voxelize(np.ascontiguousarray(xyz0, np.float32),
+                                     voxel)
+            moved = p0 @ T_gt[:3, :3].T + T_gt[:3, 3]
+            c1 = np.floor(moved / voxel).astype(np.int64)
+            c6 = np.concatenate([c0.astype(np.int64), c1], axis=1)
+            for rec in probe_levels(c6, args.levels):
+                print(json.dumps({"seed": seed, **rec}))
+        return
 
     from deepglobalregistration_tpu.utils.platform import (
         enable_compilation_cache, select_platform)
