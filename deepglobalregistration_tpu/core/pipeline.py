@@ -299,7 +299,8 @@ class DeepGlobalRegistration:
         def icp_polish(xyz0, xyz1, num0, num1, T):
             res = icp_ops.registration_icp(xyz0, xyz1, num0, num1,
                                            max_correspondence_distance=2 * voxel,
-                                           init=T, use_pallas=use_pallas)
+                                           init=T, use_pallas=use_pallas,
+                                           use_candidates=True)
             return res.T
 
         @jax.jit
@@ -345,7 +346,7 @@ class DeepGlobalRegistration:
                 T = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas).T
+                    use_pallas=use_pallas, use_candidates=True).T
             return T, wsum, overflow3, overflow6, rng_next
 
         # ------------------------------------------------------------------
@@ -391,7 +392,8 @@ class DeepGlobalRegistration:
             if self.use_icp:
                 T = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
-                    max_correspondence_distance=2 * voxel, init=T).T
+                    max_correspondence_distance=2 * voxel, init=T,
+                    use_candidates=True).T
             thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
             return T, wsum >= thresh
 

@@ -36,10 +36,14 @@ def _icp_refine(xyz0: np.ndarray, xyz1: np.ndarray, max_dist: float = 0.2,
     p1 = np.zeros((cap, 3), np.float32)
     p0[: len(xyz0)] = xyz0
     p1[: len(xyz1)] = xyz1
+    # Full-scan neighbor search: GT refinement starts from raw odometry poses
+    # whose error can exceed the candidate-list drift bound (ops/icp.py); this
+    # path is offline data prep, accuracy-critical, and cached.
     res = icp_ops.registration_icp(jnp.asarray(p0), jnp.asarray(p1),
                                    jnp.int32(len(xyz0)), jnp.int32(len(xyz1)),
                                    max_correspondence_distance=max_dist,
-                                   max_iteration=max_iteration)
+                                   max_iteration=max_iteration,
+                                   use_candidates=False)
     return np.asarray(res.T, dtype=np.float64)
 
 

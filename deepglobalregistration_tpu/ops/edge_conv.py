@@ -320,33 +320,49 @@ def _edges_to_tiles(edge_k: jnp.ndarray, edge_in: jnp.ndarray,
         out_slots, row_inv, tier_bounds = _degree_sort_slots(out_slots)
 
     n_tiles = e_pad // tile
-    tile_in = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_in, mode="drop")
-    # Force the final slot dummy: its product is then zero in every path
-    # (_chunk_products zeroes c_in < 0), giving the tiered slot-sum a known-
-    # zero row for absent edges without appending one (a full-buffer copy).
-    # Only an exactly-at-budget map could lose a real edge here — flagged
-    # above. Gather-composed maps never read tile_out; skip its e-sized
-    # scatter (~26 ms/pair across the 6D maps at bench shape).
-    tile_in = tile_in.at[-1].set(-1)
-    if slot_shape is not None:
-        tile_out = jnp.full(e_pad, -1, jnp.int32)
-    else:
-        tile_out = jnp.full(e_pad, -1, jnp.int32).at[pos].set(edge_out,
-                                                              mode="drop")
-    # A tile's offset: every tile lies inside one bin (bins are tile-aligned),
-    # so its k is the bin that contains its first slot — a searchsorted over
-    # the K+1 static bin boundaries (an e-sized scatter-max here measured
-    # ~9 ms per map on chip; this is ~microseconds). Tiles past a bin's real
-    # edges (bin padding / the dummy k_total bin) stay -1 and are skipped.
-    ends_pad = jnp.cumsum(padded)  # [K+1] padded bin ends
+    # Tile fill by GATHER, not scatter: slot s belongs to bin b(s) (binary
+    # search over the K+1 padded bin ends); its edge is the sorted list's
+    # entry at the bin's raw start plus the within-bin offset. The scatter
+    # form (full(e_pad).at[pos].set) paid e = M*d_cap updates per array at
+    # the chip's scalar scatter rate (~53 ms/pair across the 6D maps at
+    # bench shape); this pays one e_pad-sized gather, and e_pad under the
+    # live-edge budgets is a small fraction of e. Dummy-bin slots stay -1
+    # (the old form wrote invalid edges there; tiles are skipped either way
+    # via tile_k = -1, and -1 additionally zeroes the product). The final
+    # slot is therefore always a zero product — the tiered slot-sum points
+    # absent edges at it instead of appending a zero row (a full-buffer
+    # copy). Only an exactly-at-budget map could lose a real edge to that
+    # guarantee — flagged above. Gather-composed maps never read tile_out;
+    # skip it entirely.
+    # Bins are tile-aligned, so a SLOT's bin is its TILE's bin: one
+    # searchsorted over n_tiles first-slots (a per-SLOT searchsorted here
+    # measured ~200 ms/pair — XLA lowers it elementwise), then broadcast the
+    # per-tile bin tables across the tile dimension.
+    ends_pad = jnp.cumsum(padded)
     first_slot = jnp.arange(n_tiles, dtype=jnp.int32) * tile
-    tk = jnp.searchsorted(ends_pad, first_slot, side="right").astype(jnp.int32)
-    tk = jnp.minimum(tk, k_total)
-    has_real = first_slot - starts_pad[tk] < counts[tk]
-    tile_k = jnp.where((tk < k_total) & has_real, tk, -1)
+    tkb = jnp.minimum(jnp.searchsorted(ends_pad, first_slot,
+                                       side="right").astype(jnp.int32),
+                      k_total)
+    sp_t = starts_pad[tkb]
+    cr_t = counts[tkb]
+    sr_t = starts_raw[tkb]
+    off = jnp.arange(tile, dtype=jnp.int32)
+    o = first_slot[:, None] + off[None, :] - sp_t[:, None]  # [NT, T]
+    real = (o < cr_t[:, None]) & (tkb[:, None] < k_total)
+    real = real.at[-1, -1].set(False)
+    j = jnp.minimum(sr_t[:, None] + o, e - 1)
+    tile_in = jnp.where(real, edge_in[j], -1)
+    if slot_shape is not None:
+        tile_out = jnp.full((n_tiles, tile), -1, jnp.int32)
+    else:
+        tile_out = jnp.where(real, edge_out[j], -1)
+    # A tile's offset: the bin containing its first slot, already tkb; tiles
+    # past a bin's real edges (bin padding / the dummy k_total bin) are -1
+    # and skipped at compute.
+    has_real = first_slot - sp_t < cr_t
+    tile_k = jnp.where((tkb < k_total) & has_real, tkb, -1)
 
-    return EdgeMap(tile_in=tile_in.reshape(n_tiles, tile),
-                   tile_out=tile_out.reshape(n_tiles, tile),
+    return EdgeMap(tile_in=tile_in, tile_out=tile_out,
                    tile_k=tile_k, overflow=overflow, out_slots=out_slots,
                    row_inv=row_inv, tier_bounds=tier_bounds)
 
@@ -515,14 +531,16 @@ def _slot_sum_tiered(ys, out_slots, row_inv, tier_bounds, cout):
             sl = jax.lax.dynamic_slice(out_slots, (c * ch, 0), (ch, w))
             g = jnp.where(sl >= 0, sl, zero_row)
             part = jnp.sum(flat[g], axis=1, dtype=jnp.float32)
-            ridx = c * ch + jnp.arange(ch, dtype=jnp.int32)
-            keep = (ridx >= start) & (ridx < end)
-            cur = jax.lax.dynamic_slice(a, (c * ch, 0), (ch, cout))
-            return jax.lax.dynamic_update_slice(
-                a, jnp.where(keep[:, None], part, cur), (c * ch, 0))
+            return jax.lax.dynamic_update_slice(a, part, (c * ch, 0))
 
         return jax.lax.fori_loop(start // ch, -(-end // ch), body, acc)
 
+    # Tiers run NARROW -> WIDE, so boundary-chunk overlap needs no masking:
+    # a chunk row outside its tier is either lighter (the narrow width
+    # already summed it fully — extra slots are -1) or heavier (a later,
+    # wider tier rewrites it at full width). Masking cost a per-chunk
+    # read-modify-write of the [ch, cout] accumulator — at deep-level couts
+    # that tripled the loop's memory traffic.
     acc = acc0
     for j, w in enumerate(_tier_widths(d)):
         acc = tier(j, w, acc)

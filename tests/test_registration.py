@@ -142,3 +142,52 @@ def test_find_correct_correspondence_large_indices(rng):
         jnp.asarray(posp), jnp.int32(400), jnp.asarray(predp), jnp.int32(300)))
     ref = correspondence.find_correct_correspondence_np(pos, pred)
     np.testing.assert_array_equal(got[:300], ref)
+
+
+def test_icp_candidates_match_full_scan(rng):
+    """Candidate-list neighbor search (cell buckets around the initial pose)
+    must reproduce the full-scan ICP exactly when the init is near-converged
+    — the pipeline polish context (pose drift far below the cell size)."""
+    # target = source + millimeter-scale residual: the polish context (the
+    # refinement already solved the pose; ICP moves points < the quarter-cell
+    # drift bound of 0.025 m at max_corr 0.1)
+    n, cap = 600, 1024
+    src = (rng.rand(n, 3) * 2).astype(np.float32)
+    tgt = (src + np.float32([0.008, -0.005, 0.006]) +
+           0.002 * rng.randn(n, 3)).astype(np.float32)
+    srcp = np.zeros((cap, 3), np.float32); srcp[:n] = src
+    tgtp = np.zeros((cap, 3), np.float32); tgtp[:n] = tgt
+
+    def run(use_candidates):
+        return jax.jit(lambda s, g: icp.registration_icp(
+            s, g, jnp.int32(n), jnp.int32(n),
+            max_correspondence_distance=0.1,
+            use_candidates=use_candidates))(jnp.asarray(srcp),
+                                            jnp.asarray(tgtp))
+
+    full = run(False)
+    cand = run(True)
+    assert bool(cand.cand_ok)
+    np.testing.assert_allclose(np.asarray(cand.T), np.asarray(full.T),
+                               atol=1e-5)
+    assert int(cand.iterations) == int(full.iterations)
+    # reduction order differs (candidate array vs tiled scan): f32 noise
+    np.testing.assert_allclose(float(cand.inlier_rmse),
+                               float(full.inlier_rmse), atol=1e-5)
+
+
+def test_icp_candidates_flag_large_drift(rng):
+    """A coarse init that moves the cloud by more than the quarter-cell
+    drift bound must raise the cand_ok flag (candidate lists grow stale)."""
+    R, t = _rigid(rng, max_angle_deg=20)
+    n, cap = 500, 512
+    src = (rng.rand(n, 3) * 2).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    srcp = np.zeros((cap, 3), np.float32); srcp[:n] = src
+    tgtp = np.zeros((cap, 3), np.float32); tgtp[:n] = tgt
+    res = icp.registration_icp(
+        jnp.asarray(srcp), jnp.asarray(tgtp), jnp.int32(n), jnp.int32(n),
+        max_correspondence_distance=0.5, use_candidates=True)
+    # a 20-degree rotation over a 2 m cloud moves points far beyond
+    # 0.25 * 0.5 m; whether or not ICP converged, the flag must fire
+    assert not bool(res.cand_ok)
