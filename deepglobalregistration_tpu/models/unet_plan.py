@@ -234,11 +234,21 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
 
         overflow = jnp.asarray(False)
 
-        def budget(per_row, cap):
+        def budget(per_row, cap, k_total):
             # Budgets trade exactness headroom for buffer size, which only
             # matters at bench scale; small grids (tests, tiny clouds) are
             # dense relative to their capacity and keep full buffers.
-            return int(per_row) * cap if cap >= 4096 else None
+            # The budget is measured against the TILE-PADDED live extent
+            # (edge_conv._edges_to_tiles: every populated offset bin rounds up
+            # to a whole tile), so it must carry a k_total * tile structural
+            # allowance on top of the real-edge allowance — at 729 offsets
+            # and 128-slot tiles the padding alone reaches ~93k slots, which
+            # silently consumed the whole down-map budget on most bench pairs
+            # (the round-2 per-pair ov6 warnings). Padding tiles are skipped
+            # at compute; the wider buffer costs HBM only.
+            if cap < 4096:
+                return None
+            return int(per_row) * cap + k_total * _EDGE_TILE
 
         # conv1 kernels wider than 3 probe (ks/3)^3 more offsets per row;
         # scale its budget with the probe count.
@@ -248,7 +258,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         conv1_kmap = ec.SizedEdgeMap(
             ec.build_edge_map_from_slots(
                 sk, si, offs1.shape[0], tile=_EDGE_TILE,
-                live_cap=budget(conv1_per_row, grid0.capacity)),
+                live_cap=budget(conv1_per_row, grid0.capacity, offs1.shape[0])),
             grid0.capacity)
         if conv1_kernel_size == 3:
             self0 = conv1_kmap
@@ -258,7 +268,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             self0 = ec.SizedEdgeMap(
                 ec.build_edge_map_from_slots(
                     sk, si, offs3.shape[0], tile=_EDGE_TILE,
-                    live_cap=budget(_SELF_BUDGET_6D[0], grid0.capacity)),
+                    live_cap=budget(_SELF_BUDGET_6D[0], grid0.capacity, offs3.shape[0])),
                 grid0.capacity)
 
         # Group-size bound: exactly 8^level rows can share a strided c0
@@ -307,7 +317,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=self_cap(i),
                 live_cap=budget(
                     _SELF_BUDGET_6D[min(i, len(_SELF_BUDGET_6D) - 1)],
-                    grids[i].capacity))
+                    grids[i].capacity, offs3.shape[0]))
             overflow = jnp.logical_or(overflow, em.overflow)
             selfs.append(ec.SizedEdgeMap(em, grids[i].capacity))
         self_kmaps = tuple(selfs)
@@ -322,7 +332,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i),
                 live_cap=budget(
                     _DOWN_BUDGET_6D[min(i, len(_DOWN_BUDGET_6D) - 1)],
-                    grids[i + 1].capacity))
+                    grids[i + 1].capacity, offs3.shape[0]))
             overflow = jnp.logical_or(overflow, dn.overflow)
             downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
             ups.append(ec.SizedEdgeMap(up, grids[i].capacity))
