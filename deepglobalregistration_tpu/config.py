@@ -101,6 +101,8 @@ data_arg.add_argument("--threed_match_dir", type=str, default=".")
 data_arg.add_argument("--kitti_dir", type=str, default=None)
 data_arg.add_argument("--kitti_max_time_diff", type=int, default=3)
 data_arg.add_argument("--kitti_date", type=str, default="2011_09_26")
+data_arg.add_argument("--synthetic_points", type=int, default=20000,
+                      help="points per procedural cloud (SyntheticPairDataset)")
 
 eval_arg = parser.add_argument_group("Eval")
 eval_arg.add_argument("--hit_ratio_thresh", type=float, default=0.1)

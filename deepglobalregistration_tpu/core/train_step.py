@@ -81,19 +81,26 @@ def make_optimizer(name: str, lr_schedule, config) -> optax.GradientTransformati
 
 def generate_inlier_input(fcgf_apply, fcgf_params, fcgf_state, fcgf_cfg,
                           batch: PairBatch, inlier_feature_type: str,
-                          inlier_knn: int = 1):
+                          inlier_knn: int = 1, level_shrink: int = 2,
+                          dense_extent=None):
     """Frozen FCGF forward + per-pair matching + 6D input assembly
     (trainer.py:630-658 generate_inlier_input / find_pairs).
 
     inlier_knn > 1 emits k correspondences per cloud-0 point (config
     --inlier_knn; trainer find_pairs knn argument), flattened into the
     correspondence axis.
+
+    dense_extent: static 3D cell box enabling the dense-index kernel-map fast
+    path (see ops/dense_grid.py) — without it the hash-probe gathers' TPU
+    layouts pad a [E, 8, 3] u32 row buffer ~20x and the step OOMs at
+    3DMatch-scale conv1=7 maps.
     """
     b, n = batch.xyz0.shape[:2]
     # Stack both clouds of every pair into one 2B "ME batch" for the feature net.
     grids = Grid(coords=jnp.concatenate([batch.coords0, batch.coords1], 0),
                  num=jnp.concatenate([batch.num0, batch.num1], 0))
-    plan = jax.vmap(fcgf_apply.build_plan, in_axes=(0, None))(grids, fcgf_cfg)
+    plan = jax.vmap(fcgf_apply.build_plan, in_axes=(0, None, None, None, None))(
+        grids, fcgf_cfg, level_shrink, dense_extent, True)
     feats_in = jnp.ones((2 * b, n, 1), jnp.float32)
     feats, _ = fcgf_apply.apply(fcgf_params, fcgf_state, fcgf_cfg, plan, feats_in,
                                 train=False)
@@ -152,12 +159,16 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
     direct_w = config.inlier_direct_loss_weight
     use_direct = config.inlier_use_direct_loss
     balanced = config.use_balanced_loss
+    level_shrink = int(getattr(config, "level_shrink", 2))
+    de = str(getattr(config, "dense_extent", "") or "")
+    dense_extent = tuple(int(x) for x in de.split(",")) if de else None
 
     def loss_fn(inlier_params, inlier_state, fcgf_params, fcgf_state, batch: PairBatch):
         b, n = batch.xyz0.shape[:2]
         coords6, ifeats, nn_idx, is_correct, batch = generate_inlier_input(
             fcgf_spec, fcgf_params, fcgf_state, fcgf_cfg, batch,
-            config.inlier_feature_type, inlier_knn=getattr(config, "inlier_knn", 1))
+            config.inlier_feature_type, inlier_knn=getattr(config, "inlier_knn", 1),
+            level_shrink=level_shrink, dense_extent=dense_extent)
         b, n = batch.xyz0.shape[:2]
 
         grid6 = Grid(coords=coords6, num=batch.num0)
@@ -169,11 +180,11 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
             from ..models import unet_plan as up
 
             plan6 = jax.vmap(up.build_paired_unet_plan,
-                             in_axes=(0, 0, 0, None, None, None, None))(
+                             in_axes=(0, 0, 0, None, None, None, None, None))(
                 coords6[..., :3], coords6[..., 3:], batch.num0,
                 inlier_cfg.conv1_kernel_size, inlier_cfg.region_type,
                 inlier_cfg.levels,
-                int(getattr(config, "level_shrink_6d", 1)))
+                int(getattr(config, "level_shrink_6d", 1)), dense_extent)
         else:
             plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
         apply_fn = inlier_spec.apply

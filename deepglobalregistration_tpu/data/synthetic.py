@@ -61,6 +61,45 @@ def crop_view(rng: np.random.RandomState, cloud: np.ndarray,
     return cloud[proj >= thresh]
 
 
+class SyntheticTrajectoryDataset:
+    """Held-out raw-pair test set in the trajectory-dataset convention
+    (threedmatch.py ThreeDMatchTrajectoryDataset / reference
+    threedmatch_loader.py:144-196): items are ``(scene, xyz0, xyz1, trans)``
+    where ``inv(trans)`` is the pose register(xyz0, xyz1) should produce —
+    the convention scripts/test_3dmatch.py's evaluate() expects. Seeds are
+    disjoint from SyntheticPairDataset's train/val ranges; pairs group into
+    a few pseudo-scenes so the per-scene recall table exercises."""
+
+    SEED_BASE = 3_000_000
+    N_SCENES = 4
+    PAIRS_PER_SCENE = 8
+
+    def __init__(self, n_points: int = 20000, n_scenes: int | None = None,
+                 pairs_per_scene: int | None = None):
+        self.n_points = n_points
+        n_scenes = n_scenes or self.N_SCENES
+        pairs = pairs_per_scene or self.PAIRS_PER_SCENE
+        self.files = [(f"synthetic-scene-{s}", s * pairs + p)
+                      for s in range(n_scenes) for p in range(pairs)]
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, idx):
+        sname, seed = self.files[idx]
+        rng = np.random.RandomState(self.SEED_BASE + seed)
+        room = make_room(rng, self.n_points)
+        keep = 0.7 + 0.2 * rng.rand()
+        xyz0 = crop_view(rng, room, keep)
+        xyz1 = crop_view(rng, room, keep)
+        T0 = sample_random_trans(xyz0, rng, 360.0)
+        T1 = sample_random_trans(xyz1, rng, 360.0)
+        T_reg = T1 @ np.linalg.inv(T0)  # register(xyz0, xyz1) ground truth
+        xyz0 = (xyz0 @ T0[:3, :3].T + T0[:3, 3]).astype(np.float32)
+        xyz1 = (xyz1 @ T1[:3, :3].T + T1[:3, 3]).astype(np.float32)
+        return sname, xyz0, xyz1, np.linalg.inv(T_reg)
+
+
 class SyntheticPairDataset(PairDataset):
     """Procedural pairs; overlap ~60-85%. No on-disk data required."""
 

@@ -213,5 +213,8 @@ def apply(params, state, cfg: PyramidNetConfig, plan, feats: jnp.ndarray,
     new_state["final"] = {"0": fs}
 
     if cfg.normalize_feature:
-        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+        # clamped sum-of-squares: linalg.norm's grad at a zero (padding) row
+        # is NaN (see resunet.py final normalize)
+        n2 = jnp.sum(out * out, axis=-1, keepdims=True)
+        out = out / (jnp.sqrt(jnp.maximum(n2, 1e-24)) + 1e-8)
     return out, new_state

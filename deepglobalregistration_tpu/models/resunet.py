@@ -303,5 +303,9 @@ def apply(params: common.Params, state: common.Params, cfg: ResUNetConfig,
         # normalize in f32 even under a bf16 compute path (downstream KNN
         # matching needs f32 features; see ops/knn.py precision note)
         out = out.astype(jnp.float32)
-        out = out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-8)
+        # sqrt(max(sum(x^2), eps)) instead of linalg.norm: norm's gradient at
+        # an exactly-zero row (padding) is 0/0 = NaN, and NaN * 0 cotangent
+        # still contaminates the final kernel's grads under self-training.
+        n2 = jnp.sum(out * out, axis=-1, keepdims=True)
+        out = out / (jnp.sqrt(jnp.maximum(n2, 1e-24)) + 1e-8)
     return out, new_state

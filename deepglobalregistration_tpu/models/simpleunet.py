@@ -174,5 +174,8 @@ def apply(params, state, cfg: SimpleNetConfig, plan, feats: jnp.ndarray,
     out = conv(params["final"], out, id_kmap)
 
     if cfg.normalize_feature:
-        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        # clamped sum-of-squares: linalg.norm's grad at a zero (padding) row
+        # is NaN even under the outer maximum (see resunet.py final normalize)
+        n2 = jnp.sum(out * out, axis=-1, keepdims=True)
+        out = out / jnp.maximum(jnp.sqrt(jnp.maximum(n2, 1e-24)), 1e-12)
     return out, new_state

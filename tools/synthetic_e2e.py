@@ -1,0 +1,193 @@
+"""End-to-end synthetic chain: self-train FCGF -> train inlier net ->
+validate -> benchmark recall (the full reference flow, zero-egress).
+
+The reference proves itself by train -> validate -> benchmark
+(core/trainer.py:120-155 + scripts/test_3dmatch.py:87-156) on 3DMatch; this
+image has no datasets or pretrained checkpoints, so the same chain runs on the
+procedural SyntheticPairDataset:
+
+  A. FCGF self-training (core/fcgf_train.py hardest-contrastive) — the
+     reference consumes upstream-pretrained FCGF weights; here the feature
+     net must earn its matches first.
+  B. Inlier-net training via WeightedProcrustesTrainer (frozen FCGF from A,
+     dual pose+BCE loss), validated each epoch with _valid_epoch.
+  C. scripts.test_3dmatch.evaluate() over the held-out
+     SyntheticTrajectoryDataset using the best-val checkpoint; stats npz in
+     the reference schema + a JSON summary.
+
+Run (TPU): python tools/synthetic_e2e.py [--quick] [--out_dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out_dir", default="outputs/synthetic_e2e")
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny budget smoke (CI): few steps, small clouds")
+    ap.add_argument("--fcgf_steps", type=int, default=None)
+    ap.add_argument("--max_epoch", type=int, default=None)
+    ap.add_argument("--iters_per_epoch", type=int, default=None)
+    ap.add_argument("--synthetic_points", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--skip_a", default=None,
+                    help="reuse an existing FCGF checkpoint path")
+    ap.add_argument("--skip_b", default=None,
+                    help="reuse an existing trained checkpoint path (stage C only)")
+    args = ap.parse_args()
+
+    from deepglobalregistration_tpu.utils.platform import (
+        enable_compilation_cache, select_platform)
+
+    enable_compilation_cache()
+    select_platform()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deepglobalregistration_tpu.config import default_config
+    from deepglobalregistration_tpu.core import fcgf_train as ft
+    from deepglobalregistration_tpu.core.trainer import WeightedProcrustesTrainer
+    from deepglobalregistration_tpu.data.factory import make_data_loader
+    from deepglobalregistration_tpu.models import load_model
+    from deepglobalregistration_tpu.utils import checkpoint as ckpt_utils
+
+    quick = args.quick
+    n_points = args.synthetic_points or (4000 if quick else 15000)
+    fcgf_steps = args.fcgf_steps if args.fcgf_steps is not None else (
+        6 if quick else 400)
+    max_epoch = args.max_epoch if args.max_epoch is not None else (
+        1 if quick else 3)
+    iters = args.iters_per_epoch if args.iters_per_epoch is not None else (
+        2 if quick else 120)
+
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    config = default_config(
+        dataset="SyntheticPairDataset",
+        synthetic_points=n_points,
+        voxel_size=0.05,
+        feat_model="ResUNetBN2C", feat_model_n_out=32,
+        feat_conv1_kernel_size=7,
+        inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
+        inlier_feature_type="ones",
+        optimizer="SGD", lr=1e-1, exp_gamma=0.99,
+        batch_size=args.batch_size,
+        max_epoch=max_epoch, num_train_iter=iters,
+        val_epoch_freq=1, val_max_iter=(2 if quick else 16),
+        stat_freq=20, test_valid=False,
+        out_dir=str(out_dir),
+        success_rte_thresh=0.3, success_rre_thresh=15.0,
+        dense_extent="256,256,256",  # dense kmap fast path (hash layouts OOM)
+        bf16=True)
+    dense_extent = tuple(int(x) for x in config.dense_extent.split(","))
+
+    summary = {"n_points": n_points, "fcgf_steps": fcgf_steps,
+               "max_epoch": max_epoch, "iters_per_epoch": iters}
+
+    # ---------------------------------------------------------------- A
+    fcgf_ckpt = args.skip_a
+    if fcgf_ckpt is None:
+        print(f"[A] FCGF self-training: {fcgf_steps} steps "
+              f"({n_points} pts/cloud)", flush=True)
+        spec = load_model(config.feat_model)
+        fcgf_cfg = spec.make_config(
+            1, config.feat_model_n_out, bn_momentum=config.bn_momentum,
+            conv1_kernel_size=config.feat_conv1_kernel_size,
+            normalize_feature=True, D=3)
+        params, state = spec.init(jax.random.PRNGKey(0), fcgf_cfg)
+        opt = optax.adam(optax.exponential_decay(1e-3, fcgf_steps, 0.3))
+        opt_state = opt.init(params)
+        loss_cfg = ft.FCGFLossConfig(
+            num_pos=256 if quick else 1024, num_neg=256 if quick else 1024,
+            neg_radius=2 * config.voxel_size)
+        step, _ = ft.make_fcgf_train_step(spec, fcgf_cfg, loss_cfg, opt,
+                                          level_shrink=config.level_shrink,
+                                          dense_extent=dense_extent)
+        step = jax.jit(step, donate_argnums=(0, 1, 2))
+
+        loader = make_data_loader(config, "train", config.batch_size)
+        it = iter(loader)
+        key = jax.random.PRNGKey(42)
+        t0 = time.time()
+        for i in range(fcgf_steps):
+            batch = next(it)["pair_batch"]
+            key, sub = jax.random.split(key)
+            params, state, opt_state, stats = step(params, state, opt_state,
+                                                   sub, batch)
+            if i % 20 == 0 or i == fcgf_steps - 1:
+                print(f"[A] step {i}: loss {float(stats['loss']):.4f} "
+                      f"pos {float(stats['pos_loss']):.4f} "
+                      f"neg {float(stats['neg_loss']):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+        summary["fcgf_final_loss"] = float(stats["loss"])
+        fcgf_ckpt = str(out_dir / "fcgf_selftrained.pkl")
+        ckpt_utils.save_checkpoint(fcgf_ckpt, epoch=0, params=params,
+                                   state=state)
+        print(f"[A] saved {fcgf_ckpt}", flush=True)
+
+    # ---------------------------------------------------------------- B
+    best_ckpt = args.skip_b
+    if best_ckpt is None:
+        print(f"[B] inlier-net training: {max_epoch} epochs x {iters} iters",
+              flush=True)
+        config.weights = fcgf_ckpt
+        train_loader = make_data_loader(config, "train", config.batch_size)
+        val_loader = make_data_loader(config, "val", config.batch_size)
+        trainer = WeightedProcrustesTrainer(config, train_loader, val_loader)
+        trainer.train()
+        best = Path(config.out_dir) / "best_val_checkpoint.pkl"
+        best_ckpt = str(best if best.exists()
+                        else Path(config.out_dir) / "checkpoint.pkl")
+        summary["best_val"] = trainer.best_val
+        summary["best_val_epoch"] = trainer.best_val_epoch
+        print(f"[B] best ckpt {best_ckpt} ({trainer.best_val_metric} "
+              f"{trainer.best_val:.4f})", flush=True)
+
+    # ---------------------------------------------------------------- C
+    print("[C] benchmark on held-out synthetic trajectories", flush=True)
+    import torch.utils.data
+
+    from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
+    from deepglobalregistration_tpu.data.synthetic import SyntheticTrajectoryDataset
+    from scripts.test_3dmatch import evaluate
+
+    config.weights = best_ckpt
+    dgr = DeepGlobalRegistration(config)
+    dset = SyntheticTrajectoryDataset(
+        n_points=n_points,
+        n_scenes=2 if quick else 4,
+        pairs_per_scene=1 if quick else 8)
+    loader = torch.utils.data.DataLoader(dset, batch_size=1, shuffle=False,
+                                         num_workers=0,
+                                         collate_fn=lambda x: x)
+    stats = evaluate([dgr], ["DGR-TPU-synthetic"], loader, config)
+    s = stats[0]
+    succ = s[:, 0]
+    summary.update(
+        recall=float(succ.mean()),
+        te=float(s[succ > 0, 1].mean()) if succ.any() else None,
+        re=float(s[succ > 0, 2].mean()) if succ.any() else None,
+        mean_time_s=float(s[:, 3].mean()),
+        n_pairs=int(s.shape[0]),
+        stats_npz=str(Path(config.out_dir) / "3dmatch-stats.npz"))
+    with open(out_dir / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print("[C] summary:", json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()
