@@ -91,8 +91,14 @@ class DeepGlobalRegistration:
         # 'gpu' = on-device tiled scan; 'cpu' = host cKDTree (reference
         # find_knn_batch dispatch, core/knn.py:77-103).
         self.knn_search_method = str(getattr(config, "knn_search_method", "gpu"))
+        # 6D edge budget/cap multiplier for clouds denser than the bench
+        # shape (config --edge_budget_scale; models/unet_plan.py docstring).
+        self.edge_budget_scale = float(getattr(config, "edge_budget_scale",
+                                               1.0) or 1.0)
         self._rng = jax.random.PRNGKey(0)
         self._net_cap_guess = None  # speculative bucket (see register())
+        self._staged_inlier_jit = None  # lazy jit caches for the staged API
+        self._staged_ransac_jit = None
 
         if getattr(config, "weights", None):
             state = ckpt_utils.load_torch_checkpoint(config.weights) \
@@ -243,7 +249,8 @@ class DeepGlobalRegistration:
                 plan = up.build_paired_unet_plan(
                     c0, c1, num0, inlier_cfg.conv1_kernel_size,
                     inlier_cfg.region_type, inlier_cfg.levels, shrink6,
-                    dense_extent=dense_extent)
+                    dense_extent=dense_extent,
+                    budget_scale=self.edge_budget_scale)
                 plan = jax.tree.map(lambda x: x[None], plan)
             else:
                 plan = jax.vmap(inlier_spec.build_plan, in_axes=(0, None, None))(
@@ -378,10 +385,13 @@ class DeepGlobalRegistration:
             feats, _ = fcgf_spec.apply(fcgf_params, fcgf_state, fcgf_cfg, plan,
                                        feats_in, train=False)
             feats = feats.astype(jnp.float32)
+            # pallas: same 1-NN kernel as the sequential fused path — the XLA
+            # scan fallback is both slower and tie-breaks differently (which
+            # showed up as cm-scale pose diffs between batch and register()).
             idx1, weights, wsum, _ = match_inlier_core(
                 feats[0], feats[1], xyz_sel[0], xyz_sel[1],
                 grids.coords[0], grids.coords[1], grids.num[0], grids.num[1],
-                inlier_params, inlier_state)
+                inlier_params, inlier_state, pallas=use_pallas)
 
             xyz0_corr = xyz_sel[0]
             xyz1_corr = xyz_sel[1][idx1]
@@ -393,7 +403,7 @@ class DeepGlobalRegistration:
                 T = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_candidates=True).T
+                    use_pallas=use_pallas, use_candidates=True).T
             thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
             return T, wsum >= thresh
 
@@ -415,18 +425,46 @@ class DeepGlobalRegistration:
             register_pair_device,
             in_axes=(None, None, None, None, 0, 0)))
 
-    def register_batch(self, xyz0_list, xyz1_list, mesh=None) -> np.ndarray:
-        """Register many pairs in one fused jit, optionally sharded over a
-        jax.sharding mesh ('data' axis) for multi-chip evaluation fan-out.
+    # Per-dispatch pair cap for register_batch on ONE chip: the deep 6D
+    # plan builds materialize ~1.2 GB of digit-matmul buffers per pair at the
+    # 16384 bucket (edge_conv._rank_compact [M, 5, S] at level-3 multimap
+    # width), so B=8 in one program exceeds v5e HBM (measured 17.3 G > 15.75 G
+    # at bench scale). Sub-batches dispatch asynchronously — device execution
+    # still overlaps host prep — so throughput keeps the batching win.
+    _MAX_SUB_BATCH = 4
 
-        Two-pass safeguard: the batched program computes the learned
-        refinement answer only (plus the weighted-sum gate bit); pairs whose
-        gate fails — rare by construction, the gate exists to catch
-        pathological pairs (deep_global_registration.py:276-315) — rerun
-        through the sequential fused path whose lax.cond executes the
-        full-budget RANSAC. Returns [B, 4, 4] transforms. Pads the batch to
-        the device count when sharded.
+    def register_batch(self, xyz0_list, xyz1_list, mesh=None,
+                       force_vmapped: bool = False) -> np.ndarray:
+        """Register many pairs; returns [B, 4, 4] transforms.
+
+        Single chip (``mesh=None``): delegates to the pipelined stream
+        (register_many) — measured 2.0x the throughput of the vmapped
+        single-program path on v5e (2.04 vs 1.00 pairs/s at bench shape,
+        tools/batch_bench.py) AND bit-identical to register() per pair,
+        because vmap turns the refinement/ICP while_loops into
+        run-until-slowest and the safeguard lax.cond into a select (both
+        branches execute). The vmapped program earns its keep only when the
+        batch axis is sharded over a mesh ('data' axis) for multi-chip
+        evaluation fan-out; ``force_vmapped=True`` exercises it on one chip
+        (tests, HBM sizing).
+
+        Vmapped path's two-pass safeguard: the batched program computes the
+        learned refinement answer only (plus the weighted-sum gate bit);
+        pairs whose gate fails — rare by construction, the gate exists to
+        catch pathological pairs (deep_global_registration.py:276-315) —
+        rerun through the sequential fused path whose lax.cond executes the
+        full-budget RANSAC. Pads the batch to the device count when sharded.
         """
+        if mesh is None and not force_vmapped:
+            return self.register_many(xyz0_list, xyz1_list)
+        if mesh is None and len(xyz0_list) > self._MAX_SUB_BATCH:
+            outs = []
+            for i in range(0, len(xyz0_list), self._MAX_SUB_BATCH):
+                outs.append(self.register_batch(
+                    xyz0_list[i:i + self._MAX_SUB_BATCH],
+                    xyz1_list[i:i + self._MAX_SUB_BATCH],
+                    force_vmapped=True))
+            return np.concatenate(outs, axis=0)
         clouds0 = [self._as_array(x) for x in xyz0_list]
         clouds1 = [self._as_array(x) for x in xyz1_list]
         b = len(clouds0)
@@ -553,18 +591,25 @@ class DeepGlobalRegistration:
         fpad = np.zeros((cap, inlier_feats.shape[1]), np.float32)
         fpad[:m] = np.asarray(inlier_feats, np.float32)
 
-        @jax.jit
-        def run(params, state, c, f, num):
-            grid6 = Grid(coords=c, num=num)
-            plan = jax.vmap(self.inlier_spec.build_plan, in_axes=(0, None, None))(
-                jax.tree.map(lambda x: x[None], grid6), self.inlier_cfg,
-                self.level_shrink_6d)
-            logits, _ = self.inlier_spec.apply(params, state, self.inlier_cfg,
-                                               plan, f[None], train=False)
-            return logits[0]
+        if self._staged_inlier_jit is None:
+            # Cached once: a fresh jax.jit wrapper per call would retrace
+            # (minutes on this platform) on every staged-API invocation.
+            @jax.jit
+            def run(params, state, c, f, num):
+                grid6 = Grid(coords=c, num=num)
+                plan = jax.vmap(self.inlier_spec.build_plan,
+                                in_axes=(0, None, None))(
+                    jax.tree.map(lambda x: x[None], grid6), self.inlier_cfg,
+                    self.level_shrink_6d)
+                logits, _ = self.inlier_spec.apply(
+                    params, state, self.inlier_cfg, plan, f[None], train=False)
+                return logits[0]
 
-        out = run(self.inlier_params, self.inlier_state, jnp.asarray(cpad),
-                  jnp.asarray(fpad), jnp.int32(m))
+            self._staged_inlier_jit = run
+
+        out = self._staged_inlier_jit(
+            self.inlier_params, self.inlier_state, jnp.asarray(cpad),
+            jnp.asarray(fpad), jnp.int32(m))
         return np.asarray(out[:m])
 
     def safeguard_registration(self, pcd0, pcd1, idx0, idx1, feats0, feats1,
@@ -576,11 +621,17 @@ class DeepGlobalRegistration:
         cap = _bucket_for(max(len(xyz0), len(xyz1)), self.buckets)
         self._rng, key = jax.random.split(self._rng)
         h = int(min(max(num_iterations, 1024), 65536))
+        if self._staged_ransac_jit is None:
+            # Cached once (same retrace economics as _staged_inlier_jit).
+            self._staged_ransac_jit = (
+                jax.jit(ransac.ransac_correspondence, static_argnames=(
+                    "distance_threshold", "num_hypotheses")),
+                jax.jit(ransac.ransac_feature_matching, static_argnames=(
+                    "distance_threshold", "num_hypotheses")))
         if self.safeguard_method == "correspondence":
             x = _pad_cloud(xyz0[np.asarray(idx0)], cap)
             y = _pad_cloud(xyz1[np.asarray(idx1)], cap)
-            res = jax.jit(ransac.ransac_correspondence, static_argnames=(
-                "distance_threshold", "num_hypotheses"))(
+            res = self._staged_ransac_jit[0](
                 key, jnp.asarray(x), jnp.asarray(y), jnp.int32(len(idx0)),
                 distance_threshold=float(distance_threshold), num_hypotheses=h)
         else:
@@ -588,8 +639,7 @@ class DeepGlobalRegistration:
             f0[: len(feats0)] = feats0
             f1 = np.zeros_like(f0)
             f1[: len(feats1)] = feats1
-            res = jax.jit(ransac.ransac_feature_matching, static_argnames=(
-                "distance_threshold", "num_hypotheses"))(
+            res = self._staged_ransac_jit[1](
                 key, jnp.asarray(_pad_cloud(xyz0, cap)),
                 jnp.asarray(_pad_cloud(xyz1, cap)), jnp.asarray(f0),
                 jnp.asarray(f1), jnp.int32(len(xyz0)), jnp.int32(len(xyz1)),

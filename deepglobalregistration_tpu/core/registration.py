@@ -55,7 +55,11 @@ def global_registration(points: jnp.ndarray, trans_points: jnp.ndarray,
 
     def loss_fn(p):
         R = se3.ortho2rotation(p["rot6d"])[0]
-        moved = points @ R.T + p["trans"]
+        # HIGHEST: default matmul precision is bf16-level for f32 on this
+        # platform (ops/se3.py) — the refinement gradient signal at
+        # sub-voxel scale would otherwise ride on 0.2% coordinate noise.
+        moved = jnp.matmul(points, R.T,
+                           precision=jax.lax.Precision.HIGHEST) + p["trans"]
         return losses.high_dim_smooth_l1(moved, trans_points, weights,
                                          quantization_size=quantization_size,
                                          eps=eps, w1=w1)
@@ -72,13 +76,26 @@ def global_registration(points: jnp.ndarray, trans_points: jnp.ndarray,
 
     def body(carry):
         params, opt_state, _, loss_prev, loss_cur, break_count, i = carry
+        # Per-element freeze: under vmap the while_loop's cond becomes "any
+        # element active" and the body runs on ALL elements — without this
+        # mask, already-converged pairs in register_batch kept taking Adam
+        # steps past their plateau break (measured cm-scale translation drift
+        # vs the sequential path on the same pair). Scalar True when unvmapped
+        # (cond guarantees it), so the sequential path is unchanged.
+        active = (loss_cur >= 1e-7) & (break_count < max_break_count)
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
+        updates, new_opt = opt.update(grads, opt_state)
         new_params = optax.apply_updates(params, updates)
         plateau = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
-        break_count = jnp.where(plateau, break_count + 1, break_count)
+        new_break = jnp.where(plateau, break_count + 1, break_count)
         new_loss = loss_fn(new_params)
-        return (new_params, opt_state, params, loss, new_loss, break_count, i + 1)
+        frz = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(active, a, b), new, old)
+        return (frz(new_params, params), frz(new_opt, opt_state), params,
+                jnp.where(active, loss, loss_prev),
+                jnp.where(active, new_loss, loss_cur),
+                jnp.where(active, new_break, break_count),
+                jnp.where(active, i + 1, i))
 
     init = (params, opt_state, params, loss_init, loss_init,
             jnp.int32(0), jnp.int32(0))

@@ -115,7 +115,7 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
                      init: jnp.ndarray | None = None, max_iteration: int = 30,
                      relative_fitness: float = 1e-6,
                      relative_rmse: float = 1e-6,
-                     f32_rmse_floor: float = 1e-3,
+                     f32_rmse_floor: float = 0.0,
                      use_pallas: bool = False,
                      use_candidates: bool = False) -> ICPResult:
     """source/target: [N, 3] padded; init: [4, 4] initial transform.
@@ -125,10 +125,14 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
     per-iteration spatial scan, exact for any init.
     use_pallas: fused 1-NN kernel for the full-scan path (TPU, non-vmapped
     call sites only).
-    f32_rmse_floor: relative rmse-delta floor compensating f32's Procrustes
-    noise (see the body comment); 0 restores o3d's exact absolute-epsilon
-    criteria (which in f32 runs all max_iteration scans). The pose impact of
-    the floor is bounded by tools/icp_deviation.py."""
+    f32_rmse_floor: optional relative rmse-delta floor. Default 0.0 = o3d's
+    exact absolute-epsilon criteria. Historical note: a 1e-3 floor shipped
+    while the platform's default matmul precision silently ran f32 geometry
+    at bf16 (~1e-3 per-iteration Procrustes noise kept the absolute epsilon
+    from ever firing). With Precision.HIGHEST geometry (ops/procrustes.py,
+    ops/se3.py) the o3d criteria fire naturally (measured: convergence at
+    iter ~9 with err-vs-GT 0.0 deg where the noisy build ran 30/30);
+    tools/icp_deviation.py quantifies both settings."""
     n = source.shape[0]
     T0 = jnp.eye(4, dtype=jnp.float32) if init is None else init.astype(jnp.float32)
     src_valid = jnp.arange(n, dtype=jnp.int32) < num_src
@@ -177,21 +181,28 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         w = ((d2 < thresh2) & src_valid).astype(jnp.float32)
         # o3d estimates the *update* on already-moved points, composed into T.
         R, t = procrustes.weighted_procrustes(moved, nn_xyz, w)
-        T_new = se3.rt_to_matrix(R, t) @ T
+        T_new = jnp.matmul(se3.rt_to_matrix(R, t), T,
+                           precision=jax.lax.Precision.HIGHEST)
         idx_new, d2_new, nn_new, fit_new, rmse_new = evaluate(T_new)
-        # o3d's criteria assume f64: its per-iteration motion converges to
-        # ~1e-15 so |drmse| < 1e-6 fires within a few stable iterations. In
-        # f32 the Procrustes update has a ~1e-6-rotation noise floor and the
-        # rmse delta jitters right at the epsilon, so the loop would always
-        # run max_iteration scans (measured: 30/30 on chip at fitness 1.0).
-        # A relative floor (1e-3 of the current rmse) stops once per-
-        # iteration motion is noise (~3e-6 absolute measured on chip at
-        # 3 cm rmse) — the residual drift over the remaining iterations is
-        # a few percent of rmse at most, far below the success thresholds.
+        # With Precision.HIGHEST geometry matmuls, f32 per-iteration motion
+        # converges below the absolute 1e-6 epsilon within a few stable
+        # iterations, exactly as o3d's f64 criteria intend — the optional
+        # f32_rmse_floor (default 0 = o3d semantics) remains only as a knob
+        # for experiments; see the docstring's historical note.
         rmse_eps = jnp.maximum(relative_rmse, rmse_new * f32_rmse_floor)
-        done = (jnp.abs(fit_new - fit) < relative_fitness) & \
-               (jnp.abs(rmse_new - rmse) < rmse_eps)
-        return (T_new, idx_new, d2_new, nn_new, fit_new, rmse_new, i + 1, done)
+        done_new = (jnp.abs(fit_new - fit) < relative_fitness) & \
+                   (jnp.abs(rmse_new - rmse) < rmse_eps)
+        # Per-element freeze for vmapped callers (register_batch): the
+        # while_loop keeps running while ANY batch element is active, and
+        # without the mask a done element would keep composing updates (and
+        # could even flip done back off) — diverging from the sequential
+        # register() answer on the same pair. Unvmapped, done is False here
+        # (cond guarantees it), so this is the identity.
+        done = carry[7]
+        frz = lambda new, old: jnp.where(done, old, new)
+        return (frz(T_new, T), frz(idx_new, idx), frz(d2_new, d2),
+                frz(nn_new, nn_xyz), frz(fit_new, fit), frz(rmse_new, rmse),
+                jnp.where(done, i, i + 1), jnp.where(done, done, done_new))
 
     init_carry = (T0, idx0, d20, nn0, fit0, rmse0, jnp.int32(0),
                   jnp.bool_(False))

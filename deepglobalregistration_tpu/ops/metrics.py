@@ -5,12 +5,17 @@ Reference: core/metrics.py:11-69, scripts/test_3dmatch.py:38-46 (rte_rre).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# HIGHEST everywhere: the platform's default matmul precision is bf16-level
+# for f32 operands (see ops/se3.py) — metric matmuls must be f32-exact.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def rotation_error(R1: jnp.ndarray, R2: jnp.ndarray) -> jnp.ndarray:
     """arccos((tr(R1^T R2) - 1) / 2), clamped as the reference (metrics.py:15-17)."""
-    tr = jnp.trace(R1.T @ R2)
+    tr = jnp.trace(jnp.matmul(R1.T, R2, precision=_HI))
     return jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -0.9999, 0.9999))
 
 
@@ -46,8 +51,8 @@ def corr_dist(est: jnp.ndarray, gth: jnp.ndarray, xyz0: jnp.ndarray,
               weight: jnp.ndarray | None = None, max_dist: float = 1.0,
               mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mean clipped distance between points under two transforms (metrics.py:53-59)."""
-    a = xyz0 @ est[:3, :3].T + est[:3, 3]
-    b = xyz0 @ gth[:3, :3].T + gth[:3, 3]
+    a = jnp.matmul(xyz0, est[:3, :3].T, precision=_HI) + est[:3, 3]
+    b = jnp.matmul(xyz0, gth[:3, :3].T, precision=_HI) + gth[:3, 3]
     d = jnp.minimum(jnp.sqrt(jnp.sum((a - b) ** 2, axis=1)), max_dist)
     if weight is not None:
         d = d * weight
@@ -59,7 +64,8 @@ def corr_dist(est: jnp.ndarray, gth: jnp.ndarray, xyz0: jnp.ndarray,
 
 def pdist(A: jnp.ndarray, B: jnp.ndarray, dist_type: str = "L2") -> jnp.ndarray:
     """Dense pairwise distances (metrics.py:62-69). Prefer ops/knn.py for large N."""
-    d2 = jnp.sum(A ** 2, 1)[:, None] - 2 * A @ B.T + jnp.sum(B ** 2, 1)[None, :]
+    d2 = jnp.sum(A ** 2, 1)[:, None] - 2 * jnp.matmul(A, B.T, precision=_HI) \
+        + jnp.sum(B ** 2, 1)[None, :]
     d2 = jnp.maximum(d2, 0.0)
     if dist_type == "L2":
         return jnp.sqrt(d2 + 1e-7)

@@ -10,14 +10,23 @@ deg) and the published TE of a few cm.
 All solvers support padded inputs via a weight/mask vector and are batchable
 with jax.vmap (used by the trainer's per-pair Procrustes loss and by RANSAC's
 thousands of 4-point hypotheses).
+
+Precision: every matmul here carries ``Precision.HIGHEST``. The platform's
+default matmul precision is bf16-level even for f32 operands, which turned
+U @ D @ Vt (orthogonal factors to 1e-7) into a matrix with det drifting by
+~1e-3 per product — compounding to percent-scale determinant drift over an
+ICP run. See ops/se3.py's module note.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def _fix_det_svd(Sxy: jnp.ndarray) -> jnp.ndarray:
@@ -25,13 +34,13 @@ def _fix_det_svd(Sxy: jnp.ndarray) -> jnp.ndarray:
     U, _, Vt = jnp.linalg.svd(Sxy.astype(jnp.float32))
     det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], jnp.float32)).at[2, 2].set(det)
-    return U @ D @ Vt
+    return _mm(_mm(U, D), Vt)
 
 
 def _polar_polish(R: jnp.ndarray, iters: int = 2) -> jnp.ndarray:
     """Newton iteration toward the nearest orthogonal matrix: R <- 1.5 R - 0.5 R R^T R."""
     def body(_, r):
-        return 1.5 * r - 0.5 * r @ r.T @ r
+        return 1.5 * r - 0.5 * _mm(_mm(r, r.T), r)
     return jax.lax.fori_loop(0, iters, body, R)
 
 
@@ -53,9 +62,9 @@ def weighted_procrustes(X: jnp.ndarray, Y: jnp.ndarray, w: jnp.ndarray,
     wn = (w / (W1 + eps))[:, None]
     mux = jnp.sum(wn * X, axis=0, keepdims=True)
     muy = jnp.sum(wn * Y, axis=0, keepdims=True)
-    Sxy = (Y - muy).T @ (wn * (X - mux))
+    Sxy = _mm((Y - muy).T, wn * (X - mux))
     R = _polar_polish(_fix_det_svd(Sxy))
-    t = muy[0] - R @ mux[0]
+    t = muy[0] - _mm(R, mux[0])
     return R, t
 
 

@@ -30,7 +30,11 @@ class RansacResult(NamedTuple):
 
 
 def _count_inliers(R, t, X, Y, valid, thresh):
-    d2 = jnp.sum((X @ R.T + t - Y) ** 2, axis=1)
+    # HIGHEST: the platform's default matmul precision is bf16-level for f32
+    # (see ops/se3.py) — unguarded, inlier counting at mm thresholds would
+    # see ~0.2% coordinate noise.
+    d2 = jnp.sum((jnp.matmul(X, R.T, precision=jax.lax.Precision.HIGHEST)
+                  + t - Y) ** 2, axis=1)
     inl = (d2 < thresh * thresh) & valid
     cnt = jnp.sum(inl.astype(jnp.float32))
     rmse = jnp.sqrt(jnp.sum(jnp.where(inl, d2, 0.0)) / jnp.maximum(cnt, 1.0))

@@ -83,8 +83,14 @@ def test_register_batch_matches_register(rng, dgr):
     ts = [np.array([8, -8, 8], np.float32) * dgr.voxel_size,
           np.array([-8, 16, -8], np.float32) * dgr.voxel_size]
     pairs1 = [xyz + t for t in ts]
-    Ts = dgr.register_batch([xyz, xyz], pairs1)
+    Ts = dgr.register_batch([xyz, xyz], pairs1, force_vmapped=True)
     assert Ts.shape == (2, 4, 4)
+    # Default (non-forced) single-chip path must agree: it routes through the
+    # pipelined stream, whose per-pair program IS register()'s fused program.
+    Ts_stream = dgr.register_batch([xyz, xyz], pairs1)
+    assert Ts_stream.shape == (2, 4, 4)
+    for T, t in zip(Ts_stream, ts):
+        np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
     for T, t in zip(Ts, ts):
         np.testing.assert_allclose(T[:3, 3], t, atol=0.03)
         np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-2)
@@ -95,9 +101,9 @@ def test_register_batch_no_retrace(rng, dgr):
     registration used to be re-jitted — and params re-baked — per call)."""
     xyz = _cloud(rng, 380)
     t = np.array([8, 8, -8], np.float32) * dgr.voxel_size
-    dgr.register_batch([xyz], [xyz + t])
+    dgr.register_batch([xyz], [xyz + t], force_vmapped=True)
     n_traces = dgr._register_batch_jit._cache_size()
-    dgr.register_batch([xyz], [xyz + t])
+    dgr.register_batch([xyz], [xyz + t], force_vmapped=True)
     assert dgr._register_batch_jit._cache_size() == n_traces
 
 

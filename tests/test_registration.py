@@ -170,7 +170,10 @@ def test_icp_candidates_match_full_scan(rng):
     assert bool(cand.cand_ok)
     np.testing.assert_allclose(np.asarray(cand.T), np.asarray(full.T),
                                atol=1e-5)
-    assert int(cand.iterations) == int(full.iterations)
+    # Same answer; the stop ITERATION may differ by one — the o3d absolute
+    # 1e-6 epsilon fires right at the f32 noise floor, where the candidate
+    # and full-scan reduction orders round |drmse| differently.
+    assert abs(int(cand.iterations) - int(full.iterations)) <= 1
     # reduction order differs (candidate array vs tiled scan): f32 noise
     np.testing.assert_allclose(float(cand.inlier_rmse),
                                float(full.inlier_rmse), atol=1e-5)

@@ -1,14 +1,17 @@
-"""Bound the pose impact of the ICP f32 convergence floor (VERDICT r2 #7).
+"""Quantify the ICP stopping-rule behavior vs o3d criteria (VERDICT r2 #7).
 
-ops/icp.py deviates from o3d's ICPConvergenceCriteria in ONE way: the
-relative-rmse epsilon gets a floor of ``f32_rmse_floor * rmse`` (default 1e-3)
-because f32 Procrustes noise keeps the absolute 1e-6 delta from ever firing
-(o3d computes in f64; reference call site deep_global_registration.py:317-322).
-This sweep quantifies what that early stop costs: for synthetic pairs under a
-grid of initial perturbations, run ICP with the floor (early stop) and with
-floor=0 (o3d's exact criteria semantics, which in f32 runs all 30 iterations
-— the most-converged f32 answer), and report the worst-case rotation /
-translation difference between the two final poses plus their errors vs GT.
+History: ops/icp.py shipped with a relative rmse-delta floor (1e-3) because
+the absolute 1e-6 epsilon never fired — which this sweep traced to the
+PLATFORM, not to f32: the default matmul precision is bf16-level even for
+f32 operands, so each Procrustes solve carried ~1e-3 determinant/rotation
+noise (dets drifted to 0.977-1.032 over a run; the floor's early stop cost
+up to 8.8 deg vs GT on flat basins). With Precision.HIGHEST geometry
+(ops/procrustes.py, ops/se3.py) the o3d criteria semantics
+(deep_global_registration.py:317-322) fire naturally and are now the
+default (f32_rmse_floor=0). This sweep documents both settings: for
+synthetic pairs under a grid of initial perturbations, run ICP with the
+legacy floor and with the o3d-exact default, reporting pose deltas and
+errors vs GT.
 
 Usage: python tools/icp_deviation.py [--n 5000] [--pairs 6] [--json out.json]
 """
@@ -17,8 +20,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -47,7 +54,7 @@ def main():
     def run_floor(src, tgt, n0, n1, T0):
         r = icp_ops.registration_icp(
             src, tgt, n0, n1, max_correspondence_distance=2 * args.voxel,
-            init=T0)
+            init=T0, f32_rmse_floor=1e-3)  # legacy floor
         return r.T, r.iterations
 
     @jax.jit
@@ -111,9 +118,9 @@ def main():
         "max_dt_m": float(dt.max()), "mean_dt_m": float(dt.mean()),
         "mean_iters_floor": float(np.mean([r["iters_floor"] for r in rows])),
         "mean_iters_full": float(np.mean([r["iters_full"] for r in rows])),
-        "note": "floor=1e-3 (shipped) vs floor=0 (o3d criteria semantics; "
-                "f32 runs all 30 iterations). Success thresholds for scale: "
-                "3DMatch 0.3 m / 15 deg, KITTI 0.6 m / 5 deg.",
+        "note": "floor=1e-3 (legacy) vs floor=0 (o3d criteria semantics, "
+                "the shipped default with HIGHEST-precision geometry). "
+                "Success thresholds: 3DMatch 0.3 m/15 deg, KITTI 0.6 m/5 deg.",
     }
     print(json.dumps(summary))
     if args.json:

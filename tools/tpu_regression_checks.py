@@ -169,6 +169,33 @@ def main():
     print(f"e2e synthetic pose recovery: RE={re_deg:.3f} deg TE={te:.3f} m "
           f"{'ok' if ok else 'MISCOMPILED'}")
 
+    # 7) geometry matmul precision: the platform's DEFAULT matmul precision
+    # is bf16-level even for f32 operands (measured 1.6e-3 on a 3x3 product,
+    # CPU and TPU alike) — geometry code guards every product with
+    # Precision.HIGHEST (ops/se3.py, ops/procrustes.py). Verify both that the
+    # platform still needs the guard (informational) and that the guarded
+    # Procrustes solve is orthogonal to f32 precision.
+    from scipy.spatial.transform import Rotation
+
+    from deepglobalregistration_tpu.ops import procrustes
+
+    Rgt = Rotation.random(random_state=1).as_matrix().astype(np.float32)
+    X = rng.randn(5000, 3).astype(np.float32)
+    Y = X @ Rgt.T + np.float32([0.1, -0.2, 0.3])
+    Rj, tj = jax.jit(procrustes.weighted_procrustes)(
+        jnp.asarray(X), jnp.asarray(Y), jnp.ones(5000, np.float32))
+    det = float(np.linalg.det(np.asarray(Rj, np.float64)))
+    rerr = float(np.abs(np.asarray(Rj) - Rgt).max())
+    ok = abs(det - 1.0) < 1e-5 and rerr < 1e-5
+    failures += not ok
+    A = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    B = np.linalg.qr(rng.randn(3, 3))[0].astype(np.float32)
+    raw = float(np.abs(np.asarray(jnp.asarray(A) @ jnp.asarray(B), np.float64)
+                       - A.astype(np.float64) @ B.astype(np.float64)).max())
+    print(f"procrustes precision: det={det:.8f} maxerr={rerr:.2e} "
+          f"(unguarded 3x3 @ error: {raw:.2e}) "
+          f"{'ok' if ok else 'MISCOMPILED'}")
+
     if failures:
         print("FAIL: platform miscompilation detected — keep/extend the workarounds!")
         sys.exit(1)
