@@ -138,6 +138,11 @@ tpu_arg.add_argument("--bf16", type=str2bool, default=False,
 tpu_arg.add_argument("--dense_extent", type=str, default="",
                      help="static X,Y,Z voxel box enabling the dense-index "
                           "kernel-map fast path for 3D nets (empty = hash tables)")
+tpu_arg.add_argument("--edge_budget_scale", type=float, default=1.0,
+                     help="multiplier on the 6D edge-map budgets/degree caps "
+                          "(tuned at 3DMatch bench density; raise to ~2.5 for "
+                          "denser clouds, e.g. synthetic rooms — see "
+                          "models/unet_plan.build_paired_unet_plan)")
 
 
 def get_config():

@@ -180,11 +180,13 @@ def make_train_step(fcgf_spec, fcgf_cfg, inlier_spec, inlier_cfg, config,
             from ..models import unet_plan as up
 
             plan6 = jax.vmap(up.build_paired_unet_plan,
-                             in_axes=(0, 0, 0, None, None, None, None, None))(
+                             in_axes=(0, 0, 0, None, None, None, None, None,
+                                      None))(
                 coords6[..., :3], coords6[..., 3:], batch.num0,
                 inlier_cfg.conv1_kernel_size, inlier_cfg.region_type,
                 inlier_cfg.levels,
-                int(getattr(config, "level_shrink_6d", 1)), dense_extent)
+                int(getattr(config, "level_shrink_6d", 1)), dense_extent,
+                float(getattr(config, "edge_budget_scale", 1.0) or 1.0))
         else:
             plan6 = jax.vmap(inlier_spec.build_plan, in_axes=(0, None))(grid6, inlier_cfg)
         apply_fn = inlier_spec.apply

@@ -231,16 +231,22 @@ class WeightedProcrustesTrainer:
             loss_meter.update(loss)
             self.curr_iter += 1
             if self.curr_iter % config.stat_freq == 0:
+                labels = np.asarray(stats["labels"])
+                valid = np.asarray(stats["valid"])
                 cls = _classification_stats(np.asarray(stats["logits"]),
-                                            np.asarray(stats["labels"]),
-                                            np.asarray(stats["valid"]))
+                                            labels, valid)
+                # train-side hit ratio (reference trainer.py:395): the GT
+                # positive rate of the predicted 1-NN correspondences — the
+                # base rate the BCE fights when features are weak.
+                cls["hit_ratio"] = float((labels * valid).sum()
+                                         / max(valid.sum(), 1))
                 self.writer.add_scalar("train/loss", loss_meter.avg, self.curr_iter)
                 for k, v in cls.items():
                     self.writer.add_scalar(f"train/{k}", v, self.curr_iter)
                 self.log.info(
-                    "epoch %d iter %d loss %.4f data %.3fs step %.3fs f1 %.3f",
-                    epoch, it, loss_meter.avg, data_timer.avg, step_timer.avg,
-                    cls["f1"])
+                    "epoch %d iter %d loss %.4f data %.3fs step %.3fs f1 %.3f "
+                    "hit %.3f", epoch, it, loss_meter.avg, data_timer.avg,
+                    step_timer.avg, cls["f1"], cls["hit_ratio"])
                 loss_meter.reset()
 
     # ------------------------------------------------------------------

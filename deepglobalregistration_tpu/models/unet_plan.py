@@ -204,13 +204,21 @@ identity_kmap_batched = _jax.vmap(identity_kmap)
 def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                            conv1_kernel_size: int, region_type: int,
                            n_levels: int, level_shrink: int = 2,
-                           dense_extent=None) -> UNetPlan:
+                           dense_extent=None,
+                           budget_scale: float = 1.0) -> UNetPlan:
     """UNet plan for the 6D correspondence grid of the inlier net.
 
     Level-0 kernel maps (the conv1 map and the k3 self map — by far the
     heaviest, 729 offsets for HYPER_CUBE) go through the paired fast path
     (ops/paired_kernel_map.py: 3D lookups + compares, exploiting the
     uniqueness of c0 per row). Deeper levels use the generic hash tables.
+
+    budget_scale (static): multiplies the measured-at-3DMatch-scale edge
+    budgets AND per-row degree caps (_SELF/_DOWN_BUDGET/CAP_6D). Clouds much
+    denser than the 3DMatch bench shape (e.g. the synthetic room trajectories,
+    tools/degree_probe.py --room: level-2 self mean 26-31 edges/row vs the
+    bench-tuned budget of 16) need ~2.5 to run exact; the default keeps the
+    bench config's buffer sizes untouched.
     """
     from ..ops import paired_kernel_map
 
@@ -248,7 +256,7 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             # at compute; the wider buffer costs HBM only.
             if cap < 4096:
                 return None
-            return int(per_row) * cap + k_total * _EDGE_TILE
+            return int(per_row * budget_scale) * cap + k_total * _EDGE_TILE
 
         # conv1 kernels wider than 3 probe (ks/3)^3 more offsets per row;
         # scale its budget with the probe count.
@@ -302,10 +310,12 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
         # its full ~156 self-degree: the round-2 cap of 64 truncated edges on
         # every bench pair (VERDICT r2 #2).
         def self_cap(level):
-            return _SELF_CAP_6D[min(level, len(_SELF_CAP_6D) - 1)]
+            return int(_SELF_CAP_6D[min(level, len(_SELF_CAP_6D) - 1)]
+                       * budget_scale)
 
         def down_cap(level):
-            return _DOWN_CAP_6D[min(level, len(_DOWN_CAP_6D) - 1)]
+            return int(_DOWN_CAP_6D[min(level, len(_DOWN_CAP_6D) - 1)]
+                       * budget_scale)
 
         selfs = [self0]
         for i in range(1, n_levels):

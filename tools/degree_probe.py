@@ -139,7 +139,35 @@ def main():
                          "approach: every consistent 3D neighbor becomes a "
                          "6D edge, so degrees are far higher than under "
                          "random matching. No TPU or model needed.")
+    ap.add_argument("--room", action="store_true",
+                    help="probe the synthetic-room trajectory shape "
+                         "(data/synthetic.py make_room — denser than the "
+                         "bench cloud) instead of demo.synthetic_pair. "
+                         "Implies --aligned-style numpy-only probing.")
     args = ap.parse_args()
+
+    if args.room:
+        from deepglobalregistration_tpu import native
+        from deepglobalregistration_tpu.data.synthetic import (
+            SyntheticTrajectoryDataset)
+
+        voxel = 0.05
+        print(json.dumps({"caps": current_caps(args.levels),
+                          "mode": "room-aligned"}))
+        dset = SyntheticTrajectoryDataset(n_points=args.n, n_scenes=args.seeds,
+                                          pairs_per_scene=1)
+        for seed in range(args.seeds):
+            _, xyz0, xyz1, trans = dset[seed]
+            T_gt = np.linalg.inv(trans)
+            p0, c0 = native.voxelize(np.ascontiguousarray(xyz0, np.float32),
+                                     voxel)
+            moved = p0 @ T_gt[:3, :3].T + T_gt[:3, 3]
+            c1 = np.floor(moved / voxel).astype(np.int64)
+            c6 = np.concatenate([c0.astype(np.int64), c1], axis=1)
+            c6 -= c6.min(axis=0)  # degrees are translation-invariant per column
+            for rec in probe_levels(c6, args.levels):
+                print(json.dumps({"seed": seed, **rec}))
+        return
 
     if args.aligned:
         from demo import synthetic_pair

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import sys
 import time
 from pathlib import Path
@@ -41,11 +42,20 @@ def main():
     ap.add_argument("--iters_per_epoch", type=int, default=None)
     ap.add_argument("--synthetic_points", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--workers", type=int, default=4,
+                    help="DataLoader worker processes (room generation is "
+                         "host-side and ~seconds/pair at 15k points)")
+    ap.add_argument("--resume_b", default=None,
+                    help="resume inlier-net training from this checkpoint")
     ap.add_argument("--skip_a", default=None,
                     help="reuse an existing FCGF checkpoint path")
     ap.add_argument("--skip_b", default=None,
                     help="reuse an existing trained checkpoint path (stage C only)")
     args = ap.parse_args()
+
+    logging.basicConfig(
+        level=logging.INFO, stream=sys.stdout,
+        format="%(asctime)s %(name)s %(message)s", datefmt="%m/%d %H:%M:%S")
 
     from deepglobalregistration_tpu.utils.platform import (
         enable_compilation_cache, select_platform)
@@ -91,7 +101,15 @@ def main():
         stat_freq=20, test_valid=False,
         out_dir=str(out_dir),
         success_rte_thresh=0.3, success_rre_thresh=15.0,
+        # f1, not succ_rate: the weighted-Procrustes success saturates within
+        # an epoch (it is weight-SCALE invariant), which froze best-val at
+        # epoch 0 while the classifier — whose absolute sigmoid mass drives
+        # the pipeline's weighted-sum safeguard gate — was still all-negative.
+        best_val_metric="f1",
         dense_extent="256,256,256",  # dense kmap fast path (hash layouts OOM)
+        # Rooms are ~3x denser per voxel than the bench cloud: exact 6D maps
+        # need wider edge budgets (tools/degree_probe.py --room).
+        edge_budget_scale=2.5,
         bf16=True)
     dense_extent = tuple(int(x) for x in config.dense_extent.split(","))
 
@@ -145,8 +163,12 @@ def main():
         print(f"[B] inlier-net training: {max_epoch} epochs x {iters} iters",
               flush=True)
         config.weights = fcgf_ckpt
-        train_loader = make_data_loader(config, "train", config.batch_size)
-        val_loader = make_data_loader(config, "val", config.batch_size)
+        if args.resume_b:
+            config.resume = args.resume_b
+        train_loader = make_data_loader(config, "train", config.batch_size,
+                                        num_workers=args.workers)
+        val_loader = make_data_loader(config, "val", config.batch_size,
+                                      num_workers=0)
         trainer = WeightedProcrustesTrainer(config, train_loader, val_loader)
         trainer.train()
         best = Path(config.out_dir) / "best_val_checkpoint.pkl"
