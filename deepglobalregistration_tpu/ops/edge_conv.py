@@ -574,12 +574,57 @@ def _conv_gather_fwd(feats, kernel, tin, tk, out_slots, row_inv, tier_bounds):
 
 
 def _conv_gather_bwd(res, g):
+    """Streaming backward: chunked like the forward, O(chunk) temporaries.
+
+    jax.vjp of the static twin materialized the cotangent of the per-row
+    slot gather as one [M_pad, D, Cout] broadcast — 15 GB at the training
+    shape (batch-vmapped 6D level maps, edge_budget_scale 2.5), which OOMed
+    the 16 GB chip the first time full-scale training ran. The linear
+    structure needs none of that: per-edge cotangent dy[e] = dacc[row(e)]
+    (one gather), df = scatter-add of dy @ W^T, dW = sum of x^T dy — all
+    computed per tile chunk. row(e) is recovered from out_slots by one
+    int32 scatter (same footprint as out_slots itself)."""
     feats, kernel, tin, tk, out_slots, row_inv, tier_bounds = res
-    _, vjp = jax.vjp(
-        lambda f, k: _conv_gather_static(f, k, tin, tk, out_slots, row_inv),
-        feats, kernel)
-    df, dk = vjp(g)
-    return (df, dk) + _int_zeros(tin, tk, out_slots, row_inv, tier_bounds)
+    n_chunks, tile_chunk, t = tin.shape
+    k_total, cin, cout = kernel.shape
+    n = feats.shape[0]
+    e_flat = n_chunks * tile_chunk * t
+    m_pad, d = out_slots.shape
+
+    # acc-order (degree-sorted) cotangent: forward returned acc[row_inv].
+    dacc = jnp.zeros((m_pad, cout), jnp.float32).at[row_inv].set(
+        g.astype(jnp.float32))
+    # Flat slot -> degree-sorted output row; -1 (absent/dummy slots) -> 0 dy.
+    r_ids = jnp.broadcast_to(
+        jnp.arange(m_pad, dtype=jnp.int32)[:, None], (m_pad, d))
+    rows = jnp.full((e_flat,), -1, jnp.int32).at[
+        jnp.where(out_slots >= 0, out_slots, e_flat)].set(
+        r_ids, mode="drop").reshape(n_chunks, tile_chunk, t)
+
+    def body(c, carry):
+        df, dk = carry
+        c_in, c_k, c_rows = tin[c], tk[c], rows[c]
+        w = kernel[jnp.maximum(c_k, 0)].astype(jnp.float32)  # [CT, Cin, Cout]
+        dy = jnp.where((c_rows >= 0)[..., None],
+                       dacc[jnp.maximum(c_rows, 0)], 0.0)  # [CT, T, Cout]
+        dy = jnp.where((c_k >= 0)[:, None, None], dy, 0.0)
+        dx = jnp.einsum("ktd,kcd->ktc", dy, w,
+                        preferred_element_type=jnp.float32)
+        df = df.at[jnp.where(c_in >= 0, c_in, n).reshape(-1)].add(
+            dx.reshape(-1, cin), mode="drop")
+        x = jnp.where((c_in >= 0)[..., None],
+                      feats[jnp.maximum(c_in, 0)], 0).astype(jnp.float32)
+        dkc = jnp.einsum("ktc,ktd->kcd", x, dy,
+                         preferred_element_type=jnp.float32)
+        dk = dk.at[jnp.maximum(c_k, 0)].add(
+            jnp.where((c_k >= 0)[:, None, None], dkc, 0.0))
+        return df, dk
+
+    df0 = jnp.zeros((n, cin), jnp.float32)
+    dk0 = jnp.zeros((k_total, cin, cout), jnp.float32)
+    df, dk = jax.lax.fori_loop(0, _live_chunks(tk), body, (df0, dk0))
+    return (df.astype(feats.dtype), dk.astype(kernel.dtype)) + _int_zeros(
+        tin, tk, out_slots, row_inv, tier_bounds)
 
 
 _conv_gather.defvjp(_conv_gather_fwd, _conv_gather_bwd)
@@ -624,12 +669,39 @@ def _conv_scatter_fwd(m, feats, kernel, tin, tk, tout):
 
 
 def _conv_scatter_bwd(m, res, g):
+    """Streaming backward (see _conv_gather_bwd): dy[e] = g[tout(e)] is one
+    gather per chunk; jax.vjp of the static twin stored every chunk's
+    gathered activations as scan residuals (O(E * Cin) — GBs at the
+    training shape)."""
     feats, kernel, tin, tk, tout = res
-    _, vjp = jax.vjp(
-        lambda f, k: _conv_scatter_static(m, f, k, tin, tk, tout),
-        feats, kernel)
-    df, dk = vjp(g)
-    return (df, dk) + _int_zeros(tin, tk, tout)
+    k_total, cin, cout = kernel.shape
+    n = feats.shape[0]
+    gf = g.astype(jnp.float32)
+
+    def body(c, carry):
+        df, dk = carry
+        c_in, c_k, c_out = tin[c], tk[c], tout[c]
+        w = kernel[jnp.maximum(c_k, 0)].astype(jnp.float32)
+        dy = jnp.where((c_out >= 0)[..., None],
+                       gf[jnp.maximum(c_out, 0)], 0.0)  # [CT, T, Cout]
+        dy = jnp.where((c_k >= 0)[:, None, None], dy, 0.0)
+        dx = jnp.einsum("ktd,kcd->ktc", dy, w,
+                        preferred_element_type=jnp.float32)
+        df = df.at[jnp.where(c_in >= 0, c_in, n).reshape(-1)].add(
+            dx.reshape(-1, cin), mode="drop")
+        x = jnp.where((c_in >= 0)[..., None],
+                      feats[jnp.maximum(c_in, 0)], 0).astype(jnp.float32)
+        dkc = jnp.einsum("ktc,ktd->kcd", x, dy,
+                         preferred_element_type=jnp.float32)
+        dk = dk.at[jnp.maximum(c_k, 0)].add(
+            jnp.where((c_k >= 0)[:, None, None], dkc, 0.0))
+        return df, dk
+
+    df0 = jnp.zeros((n, cin), jnp.float32)
+    dk0 = jnp.zeros((k_total, cin, cout), jnp.float32)
+    df, dk = jax.lax.fori_loop(0, _live_chunks(tk), body, (df0, dk0))
+    return (df.astype(feats.dtype), dk.astype(kernel.dtype)) + _int_zeros(
+        tin, tk, tout)
 
 
 _conv_scatter.defvjp(_conv_scatter_fwd, _conv_scatter_bwd)

@@ -246,3 +246,65 @@ def test_edge_conv_live_budget(rng, transposed):
     # starved budget: overflow flag fires
     tiny = build(tile * 2)
     assert bool(tiny.overflow)
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_edge_conv_grads_match_dense(rng, transposed):
+    """The streaming custom backward (gather- and scatter-form) must produce
+    the same (d feats, d kernel) as autodiff through the dense gather-GEMM.
+    Regression for the [M_pad, D, Cout] broadcast the generic VJP
+    materialized (15 GB at the training shape — OOMed the chip)."""
+    n = m = 192
+    k, cin, cout, tile = 27, 5, 7, 32
+    kmap = _random_kmap(rng, k, m, n, 0.3)
+    feats = rng.randn(n, cin).astype(np.float32)
+    kernel = rng.randn(k, cin, cout).astype(np.float32)
+    probe = rng.randn(m if not transposed else n, cout).astype(np.float32)
+
+    if transposed:
+        # A transposed map can hold several edges per (offset, input row), so
+        # no dense [K, M] map expresses it; the reference gradient instead
+        # comes from autodiff through the static-bound scatter twin (the
+        # previous backward implementation).
+        _, em = edge_conv.build_edge_maps_down_up(
+            jnp.asarray(kmap), d_cap=27, tile=tile)
+        out_rows = n
+    else:
+        em = edge_conv.build_edge_map(jnp.asarray(kmap), d_cap=27, tile=tile)
+        out_rows = m
+
+    def loss_edge(f, w):
+        out = edge_conv.sparse_conv_edges(f, w, em, out_rows=out_rows)
+        return jnp.sum(out * probe)
+
+    if transposed:
+        tile_chunk = edge_conv._chunk_tiles(em.tile_in.shape[0])
+        n_tiles, t = em.tile_in.shape
+        n_chunks = -(-n_tiles // tile_chunk)
+        pad_t = n_chunks * tile_chunk - n_tiles
+        tin = jnp.pad(em.tile_in, ((0, pad_t), (0, 0)),
+                      constant_values=-1).reshape(n_chunks, tile_chunk, t)
+        tk = jnp.pad(em.tile_k, (0, pad_t),
+                     constant_values=-1).reshape(n_chunks, tile_chunk)
+        tout = jnp.pad(em.tile_out, ((0, pad_t), (0, 0)),
+                       constant_values=-1).reshape(n_chunks, tile_chunk, t)
+
+        def loss_dense(f, w):
+            out = edge_conv._conv_scatter_static(out_rows, f, w, tin, tk,
+                                                 tout)
+            return jnp.sum(out * probe)
+    else:
+        dense_kmap = jnp.asarray(kmap)
+
+        def loss_dense(f, w):
+            out = sparse_conv.sparse_conv(f, w, dense_kmap)
+            return jnp.sum(out * probe)
+
+    df_e, dk_e = jax.grad(loss_edge, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    df_d, dk_d = jax.grad(loss_dense, argnums=(0, 1))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+    np.testing.assert_allclose(np.asarray(df_e), np.asarray(df_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk_e), np.asarray(dk_d),
+                               rtol=1e-4, atol=1e-4)
