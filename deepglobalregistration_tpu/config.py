@@ -47,6 +47,19 @@ trainer_arg.add_argument("--eval_registration", type=str2bool, default=True)
 trainer_arg.add_argument("--clip_weight_thresh", type=float, default=0.05,
                          help="Weight threshold for detecting inliers")
 trainer_arg.add_argument("--best_val_metric", type=str, default="succ_rate")
+# Checkpoint size controls (TPU addition): the 6D inlier net's dense
+# [729, Cin, Cout] kernels make a raw-f32 checkpoint ~1 GB; bf16 storage +
+# zlib and optional optimizer/FCGF trees keep epoch checkpoints < 500 MB.
+trainer_arg.add_argument("--ckpt_dtype", type=str, default="bf16",
+                         help="checkpoint array storage: 'bf16' | 'f32'")
+trainer_arg.add_argument("--ckpt_compress", type=str2bool, default=True)
+trainer_arg.add_argument("--ckpt_save_optimizer", type=str2bool, default=False,
+                         help="include optimizer state (momentum) in epoch "
+                              "checkpoints; off by default — resume restarts "
+                              "momentum at zero")
+trainer_arg.add_argument("--ckpt_save_fcgf", type=str2bool, default=True,
+                         help="include the frozen FCGF trees (small; keeps "
+                              "checkpoints self-contained for inference)")
 
 inlier_arg = parser.add_argument_group("Inlier")
 inlier_arg.add_argument("--inlier_model", type=str, default="ResUNetBN2C")

@@ -304,11 +304,11 @@ class DeepGlobalRegistration:
 
         @jax.jit
         def icp_polish(xyz0, xyz1, num0, num1, T):
-            res = icp_ops.registration_icp(xyz0, xyz1, num0, num1,
-                                           max_correspondence_distance=2 * voxel,
-                                           init=T, use_pallas=use_pallas,
-                                           use_candidates=True)
-            return res.T
+            res = icp_ops.registration_icp_checked(
+                xyz0, xyz1, num0, num1,
+                max_correspondence_distance=2 * voxel,
+                init=T, use_pallas=use_pallas)
+            return res.T, res.cand_ok
 
         @jax.jit
         def register_fused(fcgf_params, fcgf_state, inlier_params,
@@ -349,12 +349,17 @@ class DeepGlobalRegistration:
             R, t = jax.lax.cond(wsum >= thresh, do_refine, do_ransac,
                                 (xyz0_corr, xyz1_corr, weights, key))
             T = se3.rt_to_matrix(R, t)
+            cand_ok = jnp.bool_(True)
             if self.use_icp:
-                T = icp_ops.registration_icp(
+                # checked: a safeguard-path init can be decimeters off, which
+                # breaks the candidate lists' quarter-cell exactness bound —
+                # the wrapper reruns the full-scan ICP on device when it does.
+                res = icp_ops.registration_icp_checked(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas, use_candidates=True).T
-            return T, wsum, overflow3, overflow6, rng_next
+                    use_pallas=use_pallas)
+                T, cand_ok = res.T, res.cand_ok
+            return T, wsum, overflow3, overflow6, cand_ok, rng_next
 
         # ------------------------------------------------------------------
         # batched / multi-chip registration (eval fan-out; SURVEY.md 2.3)
@@ -399,13 +404,19 @@ class DeepGlobalRegistration:
                 xyz0_corr, xyz1_corr, weights,
                 break_threshold_ratio=1e-4, quantization_size=2 * voxel)
             T = se3.rt_to_matrix(res.R, res.t)
+            cand_ok = jnp.bool_(True)
             if self.use_icp:
-                T = icp_ops.registration_icp(
+                # No checked wrapper here: lax.cond under vmap runs BOTH
+                # branches, so the fallback would cost a full scan for every
+                # pair. cand_ok is surfaced instead and register_batch reruns
+                # the (rare) stale pairs through the sequential fused path.
+                icp_res = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas, use_candidates=True).T
+                    use_pallas=use_pallas, use_candidates=True)
+                T, cand_ok = icp_res.T, icp_res.cand_ok
             thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
-            return T, wsum >= thresh
+            return T, (wsum >= thresh) & cand_ok
 
         self._quantize = quantize
         self._features = features
@@ -507,8 +518,9 @@ class DeepGlobalRegistration:
             self._register_batch_jit(*params, xyz_sel, grids))
         T = np.array(T[:b])  # writable copy: gate-failing rows are replaced
         for i in np.nonzero(~np.asarray(gate_ok)[:b])[0]:
-            log.info("register_batch: pair %d failed the weighted-sum gate — "
-                     "rerunning with the RANSAC safeguard", int(i))
+            log.info("register_batch: pair %d failed the weighted-sum gate or "
+                     "its ICP candidate lists went stale — rerunning through "
+                     "the sequential fused path", int(i))
             T[i] = self.register(clouds0[i], clouds1[i])
         return T
 
@@ -649,19 +661,63 @@ class DeepGlobalRegistration:
         T[:3, 3] = np.asarray(res.t)
         return T
 
+    # In-flight window for register_many: how many pairs may have dispatched-
+    # but-uncollected device programs at once. Two pairs of overlap already
+    # hide the per-pair host time (~7 ms vs ~550 ms device time at bench
+    # shape, tools/stream_probe.py); a BOUNDED window also (a) caps host
+    # memory held by in-flight buffers and (b) protects against degraded-
+    # dispatch sessions — round 3's driver bench measured ~1.25 s/pair of
+    # host dispatch time right after a 414 s cold compile, turning the
+    # unbounded stream 3x SLOWER than sequential (VERDICT.md r3 #1). With a
+    # window, collection syncs self-throttle the loop, so the stream can
+    # never fall meaningfully below sequential throughput.
+    _STREAM_WINDOW = 3
+
     def register_many(self, xyz0_list, xyz1_list) -> np.ndarray:
         """Register a stream of pairs with cross-pair pipelining.
 
         Semantically identical to calling register() per pair (same fused
-        program, same speculative bucket), but every pair's device programs
-        are dispatched asynchronously and results sync once at the end — the
-        per-pair host round trips that serialize the sequential loop overlap
-        with device execution. Returns [B, 4, 4]. Falls back to sequential
-        register() for the host-KNN / feature-matching-safeguard modes."""
+        program, same speculative bucket), but each pair's device programs
+        are dispatched asynchronously and results sync a bounded window
+        behind the dispatches — the per-pair host round trips that serialize
+        the sequential loop overlap with device execution. Returns [B, 4, 4].
+        Falls back to sequential register() for the host-KNN /
+        feature-matching-safeguard modes."""
         if self.knn_search_method == "cpu" or \
                 self.safeguard_method != "correspondence":
             return np.stack([self.register(a, b)
                              for a, b in zip(xyz0_list, xyz1_list)])
+
+        out = []
+
+        def collect(entry):
+            spec, xyz_sel, grids, raw_cap, guess = entry
+            net_cap = _bucket_for(int(np.asarray(grids.num).max()),
+                                  self.buckets)
+            self._net_cap_guess = net_cap
+            if net_cap > guess:  # speculation truncated real voxels: redo
+                xs = xyz_sel[:, :net_cap] if net_cap != raw_cap else xyz_sel
+                gr = Grid(coords=grids.coords[:, :net_cap], num=grids.num) \
+                    if net_cap != raw_cap else grids
+                # Fresh key for the redo: the dispatch loop already advanced
+                # self._rng past this pair (and later in-flight pairs consumed
+                # those keys), so rewinding to spec[4] would correlate RANSAC
+                # hypotheses across pairs and replay used keys.
+                self._rng, redo_key = jax.random.split(self._rng)
+                spec = self._register_fused(
+                    self.fcgf_params, self.fcgf_state, self.inlier_params,
+                    self.inlier_state, redo_key, xs, gr)
+            T, wsum, ov3, ov6, cand_ok = jax.device_get(spec[:5])
+            if bool(ov3):
+                log.warning("kernel-map table overflow: entries dropped")
+            if bool(ov6):
+                log.warning("6D inlier kernel-map table overflow: "
+                            "entries dropped")
+            if not bool(cand_ok):
+                log.warning("ICP candidate lists went stale (pose drift > "
+                            "quarter cell); the full-scan ICP fallback ran")
+            log.info("Weighted sum %.2f", float(wsum))
+            out.append(np.asarray(T, np.float64))
 
         inflight = []
         for xyz0, xyz1 in zip(xyz0_list, xyz1_list):
@@ -685,34 +741,13 @@ class DeepGlobalRegistration:
             spec = self._register_fused(
                 self.fcgf_params, self.fcgf_state, self.inlier_params,
                 self.inlier_state, self._rng, xs, gr)
-            self._rng = spec[4]
+            self._rng = spec[5]
             inflight.append((spec, xyz_sel, grids, raw_cap, guess))
+            if len(inflight) > self._STREAM_WINDOW:
+                collect(inflight.pop(0))
 
-        out = []
-        for spec, xyz_sel, grids, raw_cap, guess in inflight:
-            net_cap = _bucket_for(int(np.asarray(grids.num).max()),
-                                  self.buckets)
-            self._net_cap_guess = net_cap
-            if net_cap > guess:  # speculation truncated real voxels: redo
-                xs = xyz_sel[:, :net_cap] if net_cap != raw_cap else xyz_sel
-                gr = Grid(coords=grids.coords[:, :net_cap], num=grids.num) \
-                    if net_cap != raw_cap else grids
-                # Fresh key for the redo: the dispatch loop already advanced
-                # self._rng past this pair (and later in-flight pairs consumed
-                # those keys), so rewinding to spec[4] would correlate RANSAC
-                # hypotheses across pairs and replay used keys.
-                self._rng, redo_key = jax.random.split(self._rng)
-                spec = self._register_fused(
-                    self.fcgf_params, self.fcgf_state, self.inlier_params,
-                    self.inlier_state, redo_key, xs, gr)
-            T, wsum, ov3, ov6 = jax.device_get(spec[:4])
-            if bool(ov3):
-                log.warning("kernel-map table overflow: entries dropped")
-            if bool(ov6):
-                log.warning("6D inlier kernel-map table overflow: "
-                            "entries dropped")
-            log.info("Weighted sum %.2f", float(wsum))
-            out.append(np.asarray(T, np.float64))
+        for entry in inflight:
+            collect(entry)
         return np.stack(out)
 
     def register(self, xyz0, xyz1, inlier_thr: float = 0.00) -> np.ndarray:
@@ -766,14 +801,16 @@ class DeepGlobalRegistration:
             net_cap = _bucket_for(int(nvox.max()), self.buckets)
             self._net_cap_guess = net_cap
             if net_cap <= guess:
-                T_dev, wsum_dev, ov3, ov6, self._rng = spec
+                T_dev, wsum_dev, ov3, ov6, cand_ok, self._rng = spec
             else:  # speculation truncated real voxels: redo at the right cap
-                T_dev, wsum_dev, ov3, ov6, self._rng = self._register_fused(
+                (T_dev, wsum_dev, ov3, ov6, cand_ok,
+                 self._rng) = self._register_fused(
                     self.fcgf_params, self.fcgf_state, self.inlier_params,
-                    self.inlier_state, spec[4], *rebucket(net_cap))
+                    self.inlier_state, spec[5], *rebucket(net_cap))
             # One bundled device->host fetch: separate np.asarray/float/bool
             # reads each cost a tunnel round trip.
-            T, wsum, ov3, ov6 = jax.device_get((T_dev, wsum_dev, ov3, ov6))
+            T, wsum, ov3, ov6, cand_ok = jax.device_get(
+                (T_dev, wsum_dev, ov3, ov6, cand_ok))
             T = np.asarray(T, np.float64)
             wsum = float(wsum)
             if bool(ov3):
@@ -783,6 +820,9 @@ class DeepGlobalRegistration:
                     "probe window) — features are degraded for this pair")
             if bool(ov6):
                 log.warning("6D inlier kernel-map table overflow: entries dropped")
+            if not bool(cand_ok):
+                log.warning("ICP candidate lists went stale (pose drift > "
+                            "quarter cell); the full-scan ICP fallback ran")
             wsum_threshold = max(200, int(nvox[0]) * 0.05)
             sign = ">=" if wsum >= wsum_threshold else "<"
             log.info("Weighted sum %.2f %s threshold %.1f", wsum, sign,
@@ -855,8 +895,14 @@ class DeepGlobalRegistration:
             log.info("=> Safeguard takes %.2f s", self.reg_timer.toc(False))
 
         if self.use_icp:
-            T = np.asarray(self._icp_polish(xyz_sel[0], xyz_sel[1], grids.num[0],
-                                            grids.num[1], jnp.asarray(T, jnp.float32)))
+            T_dev, cand_ok = self._icp_polish(
+                xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
+                jnp.asarray(T, jnp.float32))
+            T, cand_ok = jax.device_get((T_dev, cand_ok))
+            T = np.asarray(T)
+            if not bool(cand_ok):
+                log.warning("ICP candidate lists went stale (pose drift > "
+                            "quarter cell); the full-scan ICP fallback ran")
         return T
 
 

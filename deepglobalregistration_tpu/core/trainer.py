@@ -139,6 +139,13 @@ class WeightedProcrustesTrainer:
         else:
             self._shard_batch = lambda b: b
             self._jit_step = jax.jit(self.step_fn)
+        # Jitted once here: building these wrappers inside _train_epoch /
+        # _valid_epoch would hand jax.jit a FRESH Python callable each call,
+        # missing the jit cache and recompiling every epoch and every
+        # validation pass (minutes each on the tunneled TPU).
+        self._grad_fn = jax.jit(jax.grad(self.loss_fn, has_aux=True))
+        self._val_stats_fn = jax.jit(
+            lambda p, s, fp, fs, b: self.loss_fn(p, s, fp, fs, b)[1][1])
 
         self.start_epoch = 0
         self.best_val = -1e8
@@ -189,7 +196,7 @@ class WeightedProcrustesTrainer:
         if config.num_train_iter > 0:
             num_iter = min(num_iter, config.num_train_iter)
 
-        grad_fn = jax.jit(jax.grad(self.loss_fn, has_aux=True))
+        grad_fn = self._grad_fn
         for it in range(num_iter):
             if iter_size == 1:
                 data_timer.tic()
@@ -254,7 +261,7 @@ class WeightedProcrustesTrainer:
         """Validation metrics (trainer.py:353-489): classification stats +
         registration RTE/RRE/success via the per-pair weighted Procrustes."""
         config = self.config
-        loss_fn = jax.jit(lambda p, s, fp, fs, b: self.loss_fn(p, s, fp, fs, b)[1][1])
+        loss_fn = self._val_stats_fn
         n_pairs = 0
         agg = {k: 0.0 for k in ["precision", "recall", "f1", "tpr", "tnr",
                                 "balanced_accuracy", "hit_ratio"]}
@@ -297,24 +304,38 @@ class WeightedProcrustesTrainer:
 
     # ------------------------------------------------------------------
     def _save_checkpoint(self, epoch: int, filename: str = "checkpoint"):
-        """Reference checkpoint schema (trainer.py:527-549)."""
+        """Reference checkpoint schema (trainer.py:527-549). Size knobs
+        (--ckpt_dtype/--ckpt_compress/--ckpt_save_*) keep the dense-6D-kernel
+        checkpoints < 500 MB by default (raw f32 + optimizer was ~1.9 GB)."""
         path = osp.join(self.out_dir, filename + ".pkl")
+        cfg = self.config
+        save_fcgf = bool(getattr(cfg, "ckpt_save_fcgf", True))
+        save_opt = bool(getattr(cfg, "ckpt_save_optimizer", False))
         ckpt_utils.save_checkpoint(
-            path, epoch=epoch, params=self.fcgf_params, state=self.fcgf_state,
+            path, epoch=epoch,
+            params=self.fcgf_params if save_fcgf else None,
+            state=self.fcgf_state if save_fcgf else None,
             inlier_params=self.inlier_params, inlier_state=self.inlier_state,
-            opt_state=self.opt_state,
-            config={k: v for k, v in vars(self.config).items()
+            opt_state=self.opt_state if save_opt else None,
+            config={k: v for k, v in vars(cfg).items()
                     if isinstance(v, (int, float, str, bool, type(None)))},
             best_val=self.best_val, best_val_epoch=self.best_val_epoch,
-            best_val_metric=self.best_val_metric)
+            best_val_metric=self.best_val_metric,
+            dtype=str(getattr(cfg, "ckpt_dtype", "f32") or "f32"),
+            compress=bool(getattr(cfg, "ckpt_compress", False)))
         self.log.info("saved checkpoint %s (epoch %d)", path, epoch)
 
     def _load_weights(self, resume_path: str):
         """Resume epoch/model/optimizer/best-val (trainer.py:491-525)."""
         state = ckpt_utils.load_checkpoint(resume_path)
         self.start_epoch = state["epoch"] + 1
-        self.fcgf_params = jax.tree.map(jnp.asarray, state["state_dict"]["params"])
-        self.fcgf_state = jax.tree.map(jnp.asarray, state["state_dict"]["state"])
+        if state.get("state_dict") is not None:
+            self.fcgf_params = jax.tree.map(jnp.asarray, state["state_dict"]["params"])
+            self.fcgf_state = jax.tree.map(jnp.asarray, state["state_dict"]["state"])
+        else:  # --ckpt_save_fcgf=false checkpoints: keep the FCGF already
+            # loaded from --weights (the feature net is frozen during training)
+            self.log.info("checkpoint has no FCGF tree; keeping current "
+                          "feature-net weights")
         si = state["state_dict_inlier"]
         self.inlier_params = jax.tree.map(jnp.asarray, si["params"])
         self.inlier_state = jax.tree.map(jnp.asarray, si["state"])

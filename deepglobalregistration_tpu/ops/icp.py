@@ -219,3 +219,42 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
             (drift <= 0.25 * max_correspondence_distance)
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, iterations=i,
                      cand_ok=cand_ok)
+
+
+def registration_icp_checked(source: jnp.ndarray, target: jnp.ndarray,
+                             num_src: jnp.ndarray, num_tgt: jnp.ndarray,
+                             max_correspondence_distance: float,
+                             init: jnp.ndarray | None = None,
+                             max_iteration: int = 30,
+                             use_pallas: bool = False) -> ICPResult:
+    """Candidate-list ICP with an on-device full-scan fallback.
+
+    Runs the cheap candidate-list ICP first; when its exactness precondition
+    fails (``cand_ok`` False — pose drift exceeded the quarter-cell bound, as
+    a decimeters-off safeguard-RANSAC init can cause, or a candidate cell
+    overflowed) the SAME program reruns the full per-iteration spatial scan
+    from the same init via lax.cond, so callers always get the exact answer
+    with one dispatch. The returned ``cand_ok`` reports whether the fallback
+    fired (False = it did), for host-side warning at the result sync.
+
+    NOT for vmapped callers: lax.cond under vmap executes both branches,
+    paying the full scan unconditionally — register_batch instead surfaces
+    cand_ok and reruns failing pairs through the sequential path."""
+    res = registration_icp(source, target, num_src, num_tgt,
+                           max_correspondence_distance, init=init,
+                           max_iteration=max_iteration, use_pallas=use_pallas,
+                           use_candidates=True)
+
+    def keep(_):
+        return res.T, res.fitness, res.inlier_rmse, res.iterations
+
+    def full(_):
+        r = registration_icp(source, target, num_src, num_tgt,
+                             max_correspondence_distance, init=init,
+                             max_iteration=max_iteration,
+                             use_pallas=use_pallas, use_candidates=False)
+        return r.T, r.fitness, r.inlier_rmse, r.iterations
+
+    T, fit, rmse, iters = jax.lax.cond(res.cand_ok, keep, full, None)
+    return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, iterations=iters,
+                     cand_ok=res.cand_ok)

@@ -41,15 +41,35 @@ def _count_inliers(R, t, X, Y, valid, thresh):
     return inl, cnt, rmse
 
 
+def _checker_distance_ok(Rs, ts, sx, sy, checker_distance: float):
+    """o3d CorrespondenceCheckerBasedOnDistance over each hypothesis's own
+    sampled correspondences: every sampled pair must lie within
+    checker_distance after applying the hypothesis transform (o3d prunes such
+    hypotheses before the full-set validation). Rs [H,3,3], ts [H,3],
+    sx/sy [H,4,3] -> ok [H] bool."""
+    moved = jnp.einsum("hij,hkj->hki", Rs, sx,
+                       precision=jax.lax.Precision.HIGHEST) + ts[:, None, :]
+    d2 = jnp.sum((moved - sy) ** 2, axis=-1)  # [H, 4]
+    return jnp.all(d2 < checker_distance * checker_distance, axis=1)
+
+
 def ransac_correspondence(key: jax.Array, X: jnp.ndarray, Y: jnp.ndarray,
                           num: jnp.ndarray, distance_threshold: float,
                           num_hypotheses: int = 16384,
-                          refine_rounds: int = 2) -> RansacResult:
+                          refine_rounds: int = 2,
+                          checker_distance: float | None = None) -> RansacResult:
     """Robust rigid fit of correspondences (X[i] <-> Y[i]), padded to [N, 3].
 
     num_hypotheses plays the role of o3d's validation budget (the reference
     passes 80000; on TPU all hypotheses evaluate in parallel, so the budget is
     a quality knob, not a latency knob).
+
+    checker_distance: when set, applies o3d's
+    CorrespondenceCheckerBasedOnDistance — hypotheses whose own sampled
+    correspondences misfit beyond this distance are rejected before scoring.
+    The reference's correspondence-mode safeguard passes NO checkers
+    (deep_global_registration.py:50-64) so the default here is None; the
+    feature-matching mode passes the threshold (:44-46).
     """
     n = X.shape[0]
     valid = jnp.arange(n, dtype=jnp.int32) < num
@@ -66,6 +86,9 @@ def ransac_correspondence(key: jax.Array, X: jnp.ndarray, Y: jnp.ndarray,
         return cnt, rmse
 
     cnts, rmses = jax.vmap(score)(Rs, ts)
+    if checker_distance is not None:
+        ok = _checker_distance_ok(Rs, ts, sx, sy, checker_distance)
+        cnts = jnp.where(ok, cnts, -1.0)
     # Best by highest inlier count, then lowest rmse (o3d fitness/rmse order).
     order = cnts - rmses / (rmses + 1.0)  # rmse tie-break without a lexicographic sort
     best = jnp.argmax(order)
@@ -88,7 +111,11 @@ def ransac_feature_matching(key: jax.Array, xyz0, xyz1, feats0, feats1,
                             num_hypotheses: int = 16384,
                             use_pallas: bool = False) -> RansacResult:
     """Feature-matching RANSAC variant (deep_global_registration.py:29-47):
-    build 1-NN feature correspondences first, then run correspondence RANSAC.
+    build 1-NN feature correspondences first, then run correspondence RANSAC
+    with o3d's distance checker (the reference passes
+    CorrespondenceCheckerBasedOnDistance(distance_threshold) in this mode,
+    deep_global_registration.py:44-46; the correspondence mode runs
+    checker-free, :50-64).
 
     (The reference's fcgf_feature_matching safeguard branch actually calls an
     undefined symbol — deep_global_registration.py:229 — so this is the repaired
@@ -98,4 +125,5 @@ def ransac_feature_matching(key: jax.Array, xyz0, xyz1, feats0, feats1,
 
     idx, _ = knn.find_nn(feats0, feats1, num0, num1, use_pallas=use_pallas)
     return ransac_correspondence(key, xyz0, xyz1[idx], num0, distance_threshold,
-                                 num_hypotheses=num_hypotheses)
+                                 num_hypotheses=num_hypotheses,
+                                 checker_distance=distance_threshold)

@@ -83,16 +83,54 @@ def load_torch_checkpoint(path: str | Path) -> Dict[str, Any]:
     return out
 
 
+_ZMAGIC = b"DGRZ"  # compressed-checkpoint header (zlib-deflated pickle)
+
+
+def _storage_cast(tree, dtype: str | None):
+    """Cast float32 leaves to the storage dtype (``'bf16'``) or keep exact
+    (``None``/``'f32'``). Integer/bool leaves always pass through."""
+    if dtype in (None, "f32", "float32"):
+        return jax.tree.map(np.asarray, tree)
+    if dtype not in ("bf16", "bfloat16"):
+        raise ValueError(f"unknown checkpoint dtype {dtype!r}")
+    import ml_dtypes
+
+    def cast(x):
+        x = np.asarray(x)
+        return x.astype(ml_dtypes.bfloat16) if x.dtype == np.float32 else x
+
+    return jax.tree.map(cast, tree)
+
+
+def _storage_uncast(tree):
+    """Restore bf16-stored leaves to float32 (compute dtype)."""
+    import ml_dtypes
+
+    def uncast(x):
+        if isinstance(x, np.ndarray) and x.dtype == ml_dtypes.bfloat16:
+            return x.astype(np.float32)
+        return x
+
+    return jax.tree.map(uncast, tree)
+
+
 def save_checkpoint(path: str | Path, *, epoch: int, params, state,
                     inlier_params=None, inlier_state=None, opt_state=None,
                     config: Dict[str, Any] | None = None, best_val: float = -1e8,
-                    best_val_epoch: int = -1, best_val_metric: str = "succ_rate"):
+                    best_val_epoch: int = -1, best_val_metric: str = "succ_rate",
+                    dtype: str | None = None, compress: bool = False):
     """Save a native checkpoint with the reference's top-level schema
-    (trainer.py:527-549)."""
-    to_np = lambda tree: jax.tree.map(lambda x: np.asarray(x), tree)
+    (trainer.py:527-549).
+
+    ``dtype='bf16'`` stores float32 arrays as bfloat16 (halves the ~1 GB
+    dense-6D-kernel inlier tree; load_checkpoint restores float32) and
+    ``compress=True`` zlib-deflates the pickle. Both default OFF here so the
+    raw utility stays lossless; the trainer passes its --ckpt_* knobs."""
+    to_np = lambda tree: _storage_cast(tree, dtype)
     payload = {
         "epoch": epoch,
-        "state_dict": {"params": to_np(params), "state": to_np(state)},
+        "state_dict": None if params is None else
+            {"params": to_np(params), "state": to_np(state)},
         "state_dict_inlier": None if inlier_params is None else
             {"params": to_np(inlier_params), "state": to_np(inlier_state)},
         "optimizer": None if opt_state is None else to_np(opt_state),
@@ -103,10 +141,24 @@ def save_checkpoint(path: str | Path, *, epoch: int, params, state,
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
+    blob = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
+    if compress:
+        import zlib
+
+        blob = _ZMAGIC + zlib.compress(blob, level=1)
     with open(path, "wb") as f:
-        pickle.dump(payload, f)
+        f.write(blob)
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        blob = f.read()
+    if blob[:4] == _ZMAGIC:
+        import zlib
+
+        blob = zlib.decompress(blob[4:])
+    out = pickle.loads(blob)
+    for key in ("state_dict", "state_dict_inlier", "optimizer"):
+        if out.get(key) is not None:
+            out[key] = _storage_uncast(out[key])
+    return out

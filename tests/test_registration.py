@@ -194,3 +194,68 @@ def test_icp_candidates_flag_large_drift(rng):
     # a 20-degree rotation over a 2 m cloud moves points far beyond
     # 0.25 * 0.5 m; whether or not ICP converged, the flag must fire
     assert not bool(res.cand_ok)
+
+
+def test_ransac_distance_checker_rejects_misfit_hypotheses(rng):
+    """o3d CorrespondenceCheckerBasedOnDistance parity (feature-matching
+    safeguard mode, deep_global_registration.py:44-46): a hypothesis whose own
+    sampled correspondences misfit beyond the threshold must be pruned before
+    scoring; exact-fit hypotheses must pass."""
+    from deepglobalregistration_tpu.ops import ransac as rs
+
+    R, t = _rigid(rng, max_angle_deg=30)
+    sx = rng.rand(2, 4, 3).astype(np.float32)
+    sy = (sx @ R.T + t).astype(np.float32)
+    # hypothesis 1: one sampled pair perturbed far beyond the threshold — the
+    # LSQ fit cannot bring all four residuals under it
+    sy_bad = sy.copy()
+    sy_bad[1, 2] += np.float32([0.5, 0.0, 0.0])
+    Rs = np.stack([R, R]).astype(np.float32)
+    ts = np.stack([t, t]).astype(np.float32)
+    ok = np.asarray(rs._checker_distance_ok(
+        jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(sx),
+        jnp.asarray(sy_bad), checker_distance=0.05))
+    assert bool(ok[0]) and not bool(ok[1])
+
+    # end-to-end: the checker-enabled feature-matching mode still recovers
+    # the pose on matchable features
+    n, cap = 400, 512
+    src = (rng.rand(n, 3) * 2).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    feats = rng.randn(n, 16).astype(np.float32)
+    pad = lambda a: np.concatenate(
+        [a, np.zeros((cap - n,) + a.shape[1:], np.float32)])
+    res = jax.jit(lambda k, x, y, f0, f1: rs.ransac_feature_matching(
+        k, x, y, f0, f1, jnp.int32(n), jnp.int32(n),
+        distance_threshold=0.05, num_hypotheses=512))(
+        jax.random.PRNGKey(0), jnp.asarray(pad(src)), jnp.asarray(pad(tgt)),
+        jnp.asarray(pad(feats)), jnp.asarray(pad(feats)))
+    np.testing.assert_allclose(np.asarray(res.R), R, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(res.t), t, atol=1e-3)
+
+
+def test_icp_checked_falls_back_to_full_scan(rng):
+    """registration_icp_checked must rerun the full-scan ICP on device when
+    the candidate lists go stale (VERDICT r3: cand_ok was computed but every
+    pipeline call site discarded it). A coarse init — the safeguard-RANSAC
+    context, where the init can be decimeters off — drifts past the
+    quarter-cell bound; the checked result must equal the full-scan answer,
+    not the truncated-neighborhood one."""
+    R, t = _rigid(rng, max_angle_deg=20)
+    n, cap = 500, 512
+    src = (rng.rand(n, 3) * 2).astype(np.float32)
+    tgt = (src @ R.T + t).astype(np.float32)
+    srcp = np.zeros((cap, 3), np.float32); srcp[:n] = src
+    tgtp = np.zeros((cap, 3), np.float32); tgtp[:n] = tgt
+
+    args = (jnp.asarray(srcp), jnp.asarray(tgtp), jnp.int32(n), jnp.int32(n))
+    checked = jax.jit(lambda s, g, ns, ng: icp.registration_icp_checked(
+        s, g, ns, ng, max_correspondence_distance=0.5))(*args)
+    assert not bool(checked.cand_ok)  # reports that the fallback fired
+    full = icp.registration_icp(*args, max_correspondence_distance=0.5,
+                                use_candidates=False)
+    np.testing.assert_array_equal(np.asarray(checked.T), np.asarray(full.T))
+    # and the full-scan answer actually solves the pair
+    T_gt = np.eye(4, dtype=np.float32)
+    T_gt[:3, :3], T_gt[:3, 3] = R, t
+    np.testing.assert_allclose(np.asarray(checked.T), T_gt, atol=5e-3)
