@@ -21,13 +21,32 @@ from .base import PairDataset
 from .transforms import sample_random_trans
 
 
+def _surface_relief(rng: np.random.RandomState, u: np.ndarray,
+                    v: np.ndarray) -> np.ndarray:
+    """Smooth pseudo-random height field h(u, v): a mixture of sinusoids with
+    wavelengths 0.3-1.2 m and amplitudes a few cm. Plane points displaced by
+    this are locally distinctive at FCGF's receptive scale (~0.5 m at 5 cm
+    voxels) — perfectly flat planes are feature-ambiguous everywhere, which
+    capped learned 1-NN hit ratios near zero (round-3 e2e finding)."""
+    h = np.zeros_like(u)
+    for _ in range(6):
+        freq = 2 * np.pi / (0.3 + 0.9 * rng.rand())  # wavelength 0.3-1.2 m
+        direc = rng.randn(2)
+        direc /= np.linalg.norm(direc)
+        phase = 2 * np.pi * rng.rand()
+        amp = 0.01 + 0.04 * rng.rand()
+        h += amp * np.sin(freq * (u * direc[0] + v * direc[1]) + phase)
+    return h
+
+
 def make_room(rng: np.random.RandomState, n: int) -> np.ndarray:
-    """Surface-heavy synthetic room: axis-aligned planes (walls/floor),
-    a few clutter boxes, and mild Gaussian surface noise. Extents ~2.5-4 m."""
+    """Surface-heavy synthetic room: axis-aligned relief-textured planes
+    (walls/floor), clutter boxes/spheres/cylinders, and mild Gaussian sensor
+    noise. Extents ~2.5-4 m."""
     ext = 2.5 + 1.5 * rng.rand(3)
     pts = []
     n_planes = 4 + rng.randint(3)  # 4-6 planes
-    n_clutter = 2 + rng.randint(3)  # 2-4 boxes
+    n_clutter = 3 + rng.randint(3)  # 3-5 objects
     per_plane = n // (n_planes + n_clutter // 2)
     for _ in range(n_planes):
         axis = rng.randint(3)
@@ -36,16 +55,36 @@ def make_room(rng: np.random.RandomState, n: int) -> np.ndarray:
         others = [i for i in range(3) if i != axis]
         p[:, others[0]] = u[:, 0] * ext[others[0]]
         p[:, others[1]] = u[:, 1] * ext[others[1]]
-        p[:, axis] = rng.rand() * ext[axis]
+        p[:, axis] = rng.rand() * ext[axis] + _surface_relief(
+            rng, p[:, others[0]], p[:, others[1]])
         pts.append(p)
     for _ in range(n_clutter):
         c = rng.rand(3) * ext * 0.8
-        s = 0.15 + 0.45 * rng.rand(3)
         m = per_plane // 2
-        face = rng.randint(3, size=m)
-        u = rng.rand(m, 3)
-        u[np.arange(m), face] = (rng.rand(m) < 0.5).astype(np.float64)
-        pts.append((c + (u - 0.5) * s).astype(np.float32))
+        kind = rng.randint(3)
+        if kind == 0:  # box shell
+            s = 0.15 + 0.45 * rng.rand(3)
+            face = rng.randint(3, size=m)
+            u = rng.rand(m, 3)
+            u[np.arange(m), face] = (rng.rand(m) < 0.5).astype(np.float64)
+            q = c + (u - 0.5) * s
+        elif kind == 1:  # sphere shell
+            r = 0.1 + 0.25 * rng.rand()
+            d = rng.randn(m, 3)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            q = c + r * d
+        else:  # open cylinder shell
+            r = 0.08 + 0.2 * rng.rand()
+            h = 0.2 + 0.6 * rng.rand()
+            ax = rng.randint(3)
+            th = 2 * np.pi * rng.rand(m)
+            q = np.empty((m, 3))
+            others = [i for i in range(3) if i != ax]
+            q[:, others[0]] = r * np.cos(th)
+            q[:, others[1]] = r * np.sin(th)
+            q[:, ax] = h * (rng.rand(m) - 0.5)
+            q += c
+        pts.append(q.astype(np.float32))
     cloud = np.concatenate(pts).astype(np.float32)
     cloud += (0.004 * rng.randn(*cloud.shape)).astype(np.float32)
     return cloud

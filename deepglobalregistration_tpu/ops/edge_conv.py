@@ -567,6 +567,31 @@ def _conv_gather_static(feats, kernel, tin, tk, out_slots, row_inv):
     return _slot_sum_static(ys, out_slots, row_inv, cout)
 
 
+def _chunk_bwd_step(carry, feats, kernel, c_in, c_k, dy_rows, dy_src):
+    """One chunk of the streaming conv backward, shared by the gather and
+    scatter compositions (they differ only in where dy comes from: dy_rows
+    indexes dy_src — acc-order rows into dacc, or tile_out rows into g).
+    Accumulates (df, dk) for the chunk's edges."""
+    df, dk = carry
+    n = feats.shape[0]
+    cin = kernel.shape[1]
+    w = kernel[jnp.maximum(c_k, 0)].astype(jnp.float32)  # [CT, Cin, Cout]
+    dy = jnp.where((dy_rows >= 0)[..., None],
+                   dy_src[jnp.maximum(dy_rows, 0)], 0.0)  # [CT, T, Cout]
+    dy = jnp.where((c_k >= 0)[:, None, None], dy, 0.0)
+    dx = jnp.einsum("ktd,kcd->ktc", dy, w,
+                    preferred_element_type=jnp.float32)
+    df = df.at[jnp.where(c_in >= 0, c_in, n).reshape(-1)].add(
+        dx.reshape(-1, cin), mode="drop")
+    x = jnp.where((c_in >= 0)[..., None],
+                  feats[jnp.maximum(c_in, 0)], 0).astype(jnp.float32)
+    dkc = jnp.einsum("ktc,ktd->kcd", x, dy,
+                     preferred_element_type=jnp.float32)
+    dk = dk.at[jnp.maximum(c_k, 0)].add(
+        jnp.where((c_k >= 0)[:, None, None], dkc, 0.0))
+    return df, dk
+
+
 def _conv_gather_fwd(feats, kernel, tin, tk, out_slots, row_inv, tier_bounds):
     return _conv_gather(feats, kernel, tin, tk, out_slots, row_inv,
                         tier_bounds), (
@@ -602,23 +627,8 @@ def _conv_gather_bwd(res, g):
         r_ids, mode="drop").reshape(n_chunks, tile_chunk, t)
 
     def body(c, carry):
-        df, dk = carry
-        c_in, c_k, c_rows = tin[c], tk[c], rows[c]
-        w = kernel[jnp.maximum(c_k, 0)].astype(jnp.float32)  # [CT, Cin, Cout]
-        dy = jnp.where((c_rows >= 0)[..., None],
-                       dacc[jnp.maximum(c_rows, 0)], 0.0)  # [CT, T, Cout]
-        dy = jnp.where((c_k >= 0)[:, None, None], dy, 0.0)
-        dx = jnp.einsum("ktd,kcd->ktc", dy, w,
-                        preferred_element_type=jnp.float32)
-        df = df.at[jnp.where(c_in >= 0, c_in, n).reshape(-1)].add(
-            dx.reshape(-1, cin), mode="drop")
-        x = jnp.where((c_in >= 0)[..., None],
-                      feats[jnp.maximum(c_in, 0)], 0).astype(jnp.float32)
-        dkc = jnp.einsum("ktc,ktd->kcd", x, dy,
-                         preferred_element_type=jnp.float32)
-        dk = dk.at[jnp.maximum(c_k, 0)].add(
-            jnp.where((c_k >= 0)[:, None, None], dkc, 0.0))
-        return df, dk
+        return _chunk_bwd_step(carry, feats, kernel, tin[c], tk[c],
+                               rows[c], dacc)
 
     df0 = jnp.zeros((n, cin), jnp.float32)
     dk0 = jnp.zeros((k_total, cin, cout), jnp.float32)
@@ -679,23 +689,8 @@ def _conv_scatter_bwd(m, res, g):
     gf = g.astype(jnp.float32)
 
     def body(c, carry):
-        df, dk = carry
-        c_in, c_k, c_out = tin[c], tk[c], tout[c]
-        w = kernel[jnp.maximum(c_k, 0)].astype(jnp.float32)
-        dy = jnp.where((c_out >= 0)[..., None],
-                       gf[jnp.maximum(c_out, 0)], 0.0)  # [CT, T, Cout]
-        dy = jnp.where((c_k >= 0)[:, None, None], dy, 0.0)
-        dx = jnp.einsum("ktd,kcd->ktc", dy, w,
-                        preferred_element_type=jnp.float32)
-        df = df.at[jnp.where(c_in >= 0, c_in, n).reshape(-1)].add(
-            dx.reshape(-1, cin), mode="drop")
-        x = jnp.where((c_in >= 0)[..., None],
-                      feats[jnp.maximum(c_in, 0)], 0).astype(jnp.float32)
-        dkc = jnp.einsum("ktc,ktd->kcd", x, dy,
-                         preferred_element_type=jnp.float32)
-        dk = dk.at[jnp.maximum(c_k, 0)].add(
-            jnp.where((c_k >= 0)[:, None, None], dkc, 0.0))
-        return df, dk
+        return _chunk_bwd_step(carry, feats, kernel, tin[c], tk[c],
+                               tout[c], gf)
 
     df0 = jnp.zeros((n, cin), jnp.float32)
     dk0 = jnp.zeros((k_total, cin, cout), jnp.float32)

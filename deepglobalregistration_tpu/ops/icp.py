@@ -168,15 +168,17 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
 
     idx0, d20, nn0, fit0, rmse0 = evaluate(T0)
 
+    drift_bound = 0.25 * max_correspondence_distance
+
     def cond(carry):
-        T, idx, d2, nn_xyz, fit, rmse, i, done = carry
-        return (i < max_iteration) & jnp.logical_not(done)
+        T, idx, d2, nn_xyz, fit, rmse, i, done, stale = carry
+        return (i < max_iteration) & jnp.logical_not(done | stale)
 
     def body(carry):
         # ONE neighbor search per iteration: the correspondences found when
         # evaluating T_new double as the next iteration's update input
         # (they are exactly what a fresh search at T would recompute).
-        T, idx, d2, nn_xyz, fit, rmse, i, _ = carry
+        T, idx, d2, nn_xyz, fit, rmse, i, _, stale = carry
         moved = se3.apply_transform(source, T)
         w = ((d2 < thresh2) & src_valid).astype(jnp.float32)
         # o3d estimates the *update* on already-moved points, composed into T.
@@ -192,6 +194,20 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         rmse_eps = jnp.maximum(relative_rmse, rmse_new * f32_rmse_floor)
         done_new = (jnp.abs(fit_new - fit) < relative_fitness) & \
                    (jnp.abs(rmse_new - rmse) < rmse_eps)
+        if use_candidates:
+            # Candidate lists were built at T0: once the pose drifts past the
+            # quarter-cell bound their answers are no longer trustworthy, so
+            # STOP iterating immediately — the checked wrapper's full-scan
+            # fallback redoes the work anyway, and a far-off init (random
+            # weights, coarse RANSAC) otherwise burns all 30 candidate
+            # iterations before the rerun (round-4 bench: stale fired on
+            # every pair, +53 ms/pair).
+            moved_new = se3.apply_transform(source, T_new)
+            drift2 = jnp.max(jnp.where(
+                src_valid, jnp.sum((moved_new - moved0) ** 2, axis=1), 0.0))
+            stale_new = stale | (drift2 > drift_bound ** 2)
+        else:
+            stale_new = stale
         # Per-element freeze for vmapped callers (register_batch): the
         # while_loop keeps running while ANY batch element is active, and
         # without the mask a done element would keep composing updates (and
@@ -202,21 +218,17 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
         frz = lambda new, old: jnp.where(done, old, new)
         return (frz(T_new, T), frz(idx_new, idx), frz(d2_new, d2),
                 frz(nn_new, nn_xyz), frz(fit_new, fit), frz(rmse_new, rmse),
-                jnp.where(done, i, i + 1), jnp.where(done, done, done_new))
+                jnp.where(done, i, i + 1), jnp.where(done, done, done_new),
+                jnp.where(done, stale, stale_new))
 
     init_carry = (T0, idx0, d20, nn0, fit0, rmse0, jnp.int32(0),
-                  jnp.bool_(False))
-    T, _, _, _, fit, rmse, i, _ = jax.lax.while_loop(cond, body, init_carry)
+                  jnp.bool_(False), jnp.bool_(False))
+    T, _, _, _, fit, rmse, i, _, stale = jax.lax.while_loop(
+        cond, body, init_carry)
 
     cand_ok = jnp.bool_(True)
     if use_candidates:
-        # Candidate lists were built at T0; bound the pose drift since then
-        # (quarter-cell: conservative vs the >= one-cell coverage slack).
-        moved_final = se3.apply_transform(source, T)
-        drift = jnp.sqrt(jnp.max(jnp.where(
-            src_valid, jnp.sum((moved_final - moved0) ** 2, axis=1), 0.0)))
-        cand_ok = jnp.logical_not(cand_overflow) & \
-            (drift <= 0.25 * max_correspondence_distance)
+        cand_ok = jnp.logical_not(cand_overflow) & jnp.logical_not(stale)
     return ICPResult(T=T, fitness=fit, inlier_rmse=rmse, iterations=i,
                      cand_ok=cand_ok)
 

@@ -308,3 +308,48 @@ def test_edge_conv_grads_match_dense(rng, transposed):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dk_e), np.asarray(dk_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_edge_conv_grads_vmapped(rng):
+    """Batch-vmapped gradient path: with per-pair edge maps stacked under
+    jax.vmap (the training configuration), _live_chunks is a traced bound and
+    the streaming backward's fori_loop lowers to a vmapped while_loop — a
+    different lowering than the unbatched test above exercises. Per-element
+    grads must match the unbatched backward on the same maps."""
+    n = m = 160
+    k, cin, cout, tile = 27, 5, 7, 32
+    b = 2
+    kmaps = [_random_kmap(rng, k, m, n, 0.25 + 0.1 * i) for i in range(b)]
+    # shared static budget so the stacked maps have equal shapes (exactly how
+    # vmapped plan builds produce them)
+    live_cap = max(int((km >= 0).sum()) for km in kmaps) + k * tile
+    ems = [edge_conv.build_edge_map(jnp.asarray(km), d_cap=27, tile=tile,
+                                    live_cap=live_cap) for km in kmaps]
+    em_b = jax.tree.map(lambda *xs: jnp.stack(xs), *ems)
+    feats = rng.randn(b, n, cin).astype(np.float32)
+    kernel = rng.randn(k, cin, cout).astype(np.float32)
+    probe = rng.randn(b, m, cout).astype(np.float32)
+
+    def loss_batched(f, w):
+        out = jax.vmap(
+            lambda ff, ee: edge_conv.sparse_conv_edges(ff, w, ee,
+                                                       out_rows=m),
+            in_axes=(0, 0))(f, em_b)
+        return jnp.sum(out * jnp.asarray(probe))
+
+    df_b, dk_b = jax.jit(jax.grad(loss_batched, argnums=(0, 1)))(
+        jnp.asarray(feats), jnp.asarray(kernel))
+
+    dk_sum = np.zeros_like(np.asarray(dk_b))
+    for i in range(b):
+        def loss_one(f, w):
+            out = edge_conv.sparse_conv_edges(f, w, ems[i], out_rows=m)
+            return jnp.sum(out * jnp.asarray(probe[i]))
+
+        df_i, dk_i = jax.grad(loss_one, argnums=(0, 1))(
+            jnp.asarray(feats[i]), jnp.asarray(kernel))
+        np.testing.assert_allclose(np.asarray(df_b[i]), np.asarray(df_i),
+                                   rtol=1e-4, atol=1e-4)
+        dk_sum += np.asarray(dk_i)
+    np.testing.assert_allclose(np.asarray(dk_b), dk_sum,
+                               rtol=1e-4, atol=1e-4)

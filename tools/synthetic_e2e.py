@@ -77,7 +77,7 @@ def main():
     quick = args.quick
     n_points = args.synthetic_points or (4000 if quick else 15000)
     fcgf_steps = args.fcgf_steps if args.fcgf_steps is not None else (
-        6 if quick else 400)
+        6 if quick else 1200)
     max_epoch = args.max_epoch if args.max_epoch is not None else (
         1 if quick else 3)
     iters = args.iters_per_epoch if args.iters_per_epoch is not None else (
@@ -137,7 +137,45 @@ def main():
                                           dense_extent=dense_extent)
         step = jax.jit(step, donate_argnums=(0, 1, 2))
 
-        loader = make_data_loader(config, "train", config.batch_size)
+        # Matching-quality probe: the number that gates the whole downstream
+        # chain is the 1-NN hit ratio (fraction of feature matches landing
+        # within the GT search radius) — round 3 trained blind on the loss and
+        # shipped features with <1% hits. Fixed val batch, jitted eval.
+        from deepglobalregistration_tpu.ops.knn import find_nn
+        from deepglobalregistration_tpu.ops.sparse_grid import Grid
+
+        val_loader = make_data_loader(config, "val", config.batch_size,
+                                      num_workers=0)
+        probe_batch = next(iter(val_loader))["pair_batch"]
+        radius = config.voxel_size * \
+            config.positive_pair_search_voxel_size_multiplier
+
+        @jax.jit
+        def hit_probe(params, state, batch):
+            b, n = batch.xyz0.shape[:2]
+            grids = Grid(
+                coords=jnp.concatenate([batch.coords0, batch.coords1], 0),
+                num=jnp.concatenate([batch.num0, batch.num1], 0))
+            plan = jax.vmap(spec.build_plan,
+                            in_axes=(0, None, None, None, None))(
+                grids, fcgf_cfg, config.level_shrink, dense_extent, True)
+            feats, _ = spec.apply(params, state, fcgf_cfg, plan,
+                                  jnp.ones((2 * b, n, 1), jnp.float32),
+                                  train=False)
+            feats = feats.astype(jnp.float32)
+            idx, _ = jax.vmap(find_nn)(feats[:b], feats[b:],
+                                       batch.num0, batch.num1)
+            x0in1 = jnp.einsum("bij,bnj->bni", batch.T_gt[:, :3, :3],
+                               batch.xyz0) + batch.T_gt[:, None, :3, 3]
+            d = jnp.linalg.norm(
+                x0in1 - jnp.take_along_axis(batch.xyz1, idx[..., None],
+                                            axis=1), axis=-1)
+            valid = jnp.arange(n)[None, :] < batch.num0[:, None]
+            return jnp.sum((d < radius) & valid) / jnp.maximum(
+                jnp.sum(valid), 1)
+
+        loader = make_data_loader(config, "train", config.batch_size,
+                                  num_workers=args.workers)
         it = iter(loader)
         key = jax.random.PRNGKey(42)
         t0 = time.time()
@@ -147,11 +185,16 @@ def main():
             params, state, opt_state, stats = step(params, state, opt_state,
                                                    sub, batch)
             if i % 20 == 0 or i == fcgf_steps - 1:
+                hit = float(hit_probe(params, state, probe_batch)) \
+                    if (i % 100 == 0 or i == fcgf_steps - 1) else None
                 print(f"[A] step {i}: loss {float(stats['loss']):.4f} "
                       f"pos {float(stats['pos_loss']):.4f} "
-                      f"neg {float(stats['neg_loss']):.4f} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
+                      f"neg {float(stats['neg_loss']):.4f}"
+                      + (f" val_hit {hit:.3f}" if hit is not None else "")
+                      + f" ({time.time() - t0:.0f}s)", flush=True)
         summary["fcgf_final_loss"] = float(stats["loss"])
+        summary["fcgf_val_hit_ratio"] = float(
+            hit_probe(params, state, probe_batch))
         fcgf_ckpt = str(out_dir / "fcgf_selftrained.pkl")
         ckpt_utils.save_checkpoint(fcgf_ckpt, epoch=0, params=params,
                                    state=state)
