@@ -42,9 +42,12 @@ def main():
     ap.add_argument("--iters_per_epoch", type=int, default=None)
     ap.add_argument("--synthetic_points", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=2)
-    ap.add_argument("--workers", type=int, default=4,
-                    help="DataLoader worker processes (room generation is "
-                         "host-side and ~seconds/pair at 15k points)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="DataLoader worker processes. Default 0: generation "
+                         "is ~0.03 s/pair at 15k points (native radius "
+                         "matching), and on a single-core host forked "
+                         "workers risk the os.fork-after-JAX deadlock for "
+                         "no throughput gain")
     ap.add_argument("--resume_b", default=None,
                     help="resume inlier-net training from this checkpoint")
     ap.add_argument("--skip_a", default=None,

@@ -55,9 +55,11 @@ def main():
 
     train_loader = make_data_loader(config, "train", config.batch_size,
                                     num_workers=2)
-    trainer = WeightedProcrustesTrainer(config, train_loader, train_loader)
+    # no val loader: the public train() entry then runs exactly one training
+    # epoch of num_train_iter steps (plus its checkpoint save)
+    trainer = WeightedProcrustesTrainer(config, train_loader, None)
     t0 = time.time()
-    trainer._train_epoch(0)
+    trainer.train()
     jax.block_until_ready(trainer.inlier_params)
     print(f"epoch ({args.steps} steps incl. compile): "
           f"{time.time() - t0:.1f}s", flush=True)
