@@ -11,7 +11,7 @@ from __future__ import annotations
 import torch.utils.data
 
 from .kitti import KITTINMPairDataset, KITTIPairDataset
-from .synthetic import SyntheticPairDataset
+from .synthetic import SyntheticLidarPairDataset, SyntheticPairDataset
 from .threedmatch import (ThreeDMatchPairDataset03, ThreeDMatchPairDataset05,
                           ThreeDMatchPairDataset07)
 from .collate import CollationFunctionFactory
@@ -19,7 +19,7 @@ from . import transforms as t
 
 ALL_DATASETS = [ThreeDMatchPairDataset03, ThreeDMatchPairDataset05,
                 ThreeDMatchPairDataset07, KITTIPairDataset, KITTINMPairDataset,
-                SyntheticPairDataset]
+                SyntheticPairDataset, SyntheticLidarPairDataset]
 dataset_str_mapping = {d.__name__: d for d in ALL_DATASETS}
 
 

@@ -139,6 +139,97 @@ class SyntheticTrajectoryDataset:
         return sname, xyz0, xyz1, np.linalg.inv(T_reg)
 
 
+def make_outdoor_scene(rng: np.random.RandomState, n: int) -> np.ndarray:
+    """KITTI-scale procedural street scene: relief ground (~80 m), building
+    box shells, car-sized boxes, pole/trunk cylinders. Returns ~n points."""
+    half = 40.0 + 10.0 * rng.rand()
+    pts = []
+    n_ground = n // 2
+    g = np.empty((n_ground, 3), np.float32)
+    g[:, 0] = (rng.rand(n_ground) * 2 - 1) * half
+    g[:, 1] = (rng.rand(n_ground) * 2 - 1) * half
+    h = np.zeros(n_ground)
+    for _ in range(5):  # long-wavelength terrain undulation
+        freq = 2 * np.pi / (8.0 + 24.0 * rng.rand())
+        d = rng.randn(2)
+        d /= np.linalg.norm(d)
+        h += (0.05 + 0.25 * rng.rand()) * np.sin(
+            freq * (g[:, 0] * d[0] + g[:, 1] * d[1]) + 2 * np.pi * rng.rand())
+    g[:, 2] = h
+    pts.append(g)
+
+    n_bld = 6 + rng.randint(6)
+    n_car = 8 + rng.randint(8)
+    n_pole = 6 + rng.randint(8)
+    per_bld = (n // 3) // n_bld
+    per_car = (n // 8) // n_car
+    per_pole = (n // 24) // n_pole
+    for _ in range(n_bld):  # building shells (walls only, no roof points)
+        c = (rng.rand(2) * 2 - 1) * (half * 0.8)
+        sx, sy = 5 + 15 * rng.rand(2)
+        hz = 3 + 9 * rng.rand()
+        face = rng.randint(2, size=per_bld)  # 0: +-x wall, 1: +-y wall
+        side = (rng.rand(per_bld) < 0.5) * 2.0 - 1.0
+        u = rng.rand(per_bld, 2)
+        q = np.empty((per_bld, 3), np.float32)
+        q[:, 0] = np.where(face == 0, side * sx / 2, (u[:, 0] - 0.5) * sx)
+        q[:, 1] = np.where(face == 1, side * sy / 2, (u[:, 0] - 0.5) * sy)
+        q[:, 2] = u[:, 1] * hz
+        q[:, :2] += c
+        pts.append(q)
+    for _ in range(n_car):  # car-sized box shells on the ground
+        c = (rng.rand(2) * 2 - 1) * (half * 0.9)
+        s = np.array([1.8, 4.2, 1.5]) * (0.8 + 0.4 * rng.rand())
+        yaw = 2 * np.pi * rng.rand()
+        face = rng.randint(3, size=per_car)
+        u = rng.rand(per_car, 3)
+        u[np.arange(per_car), face] = (rng.rand(per_car) < 0.5).astype(float)
+        q = ((u - 0.5) * s).astype(np.float32)
+        ca, sa = np.cos(yaw), np.sin(yaw)
+        q[:, :2] = q[:, :2] @ np.array([[ca, sa], [-sa, ca]], np.float32)
+        q[:, :2] += c
+        q[:, 2] += s[2] / 2
+        pts.append(q)
+    for _ in range(n_pole):  # poles / trunks
+        c = (rng.rand(2) * 2 - 1) * (half * 0.9)
+        r = 0.1 + 0.3 * rng.rand()
+        hz = 3 + 5 * rng.rand()
+        th = 2 * np.pi * rng.rand(per_pole)
+        q = np.empty((per_pole, 3), np.float32)
+        q[:, 0] = c[0] + r * np.cos(th)
+        q[:, 1] = c[1] + r * np.sin(th)
+        q[:, 2] = rng.rand(per_pole) * hz
+        pts.append(q)
+    cloud = np.concatenate(pts).astype(np.float32)
+    cloud += (0.02 * rng.randn(*cloud.shape)).astype(np.float32)
+    return cloud
+
+
+def _lidar_views(rng: np.random.RandomState, scene: np.ndarray,
+                 min_dist: float = 10.0, sensor_range: float = 45.0):
+    """Two ego-frame range-cropped views >= min_dist apart (the KITTI-NM
+    pair-selection protocol, reference kitti_loader.py:229-286) + the GT map
+    from view-0 to view-1 coordinates."""
+    o0 = (rng.rand(2) - 0.5) * 20.0
+    ang = 2 * np.pi * rng.rand()
+    dist = min_dist + 5.0 * rng.rand()
+    o1 = o0 + dist * np.array([np.cos(ang), np.sin(ang)])
+    views, poses = [], []
+    for o in (o0, o1):
+        yaw = 2 * np.pi * rng.rand()
+        ca, sa = np.cos(yaw), np.sin(yaw)
+        R = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float64)
+        t = np.array([o[0], o[1], 1.7])  # sensor ~1.7 m above ground
+        keep = np.linalg.norm(scene[:, :2] - o[None, :], axis=1) < sensor_range
+        views.append(((scene[keep] - t) @ R).astype(np.float32))  # R^T (w - t)
+        poses.append((R, t))
+    (R0, t0), (R1, t1) = poses
+    trans = np.eye(4)
+    trans[:3, :3] = R1.T @ R0
+    trans[:3, 3] = R1.T @ (t0 - t1)
+    return views[0], views[1], trans.astype(np.float32)
+
+
 class SyntheticPairDataset(PairDataset):
     """Procedural pairs; overlap ~60-85%. No on-disk data required."""
 
@@ -176,6 +267,58 @@ class SyntheticPairDataset(PairDataset):
             xyz1 = self.apply_transform(xyz1, T1)
         else:
             trans = np.identity(4)
+
+        p0, c0, p1, c1 = self.voxelize_pair(xyz0, xyz1)
+        matches = native.radius_pairs(p0, p1, trans.astype(np.float32),
+                                      matching_search_voxel_size)
+        f0 = np.ones((len(p0), 1), np.float32)
+        f1 = np.ones((len(p1), 1), np.float32)
+        if self.transform:
+            c0, f0 = self.transform(c0, f0)
+            c1, f1 = self.transform(c1, f1)
+        extra = {"idx": idx}
+        return p0, p1, c0, c1, f0, f1, matches, trans.astype(np.float32), extra
+
+
+class SyntheticLidarPairDataset(PairDataset):
+    """Procedural outdoor LiDAR-scale pairs (the KITTI-NM protocol analogue,
+    reference dataloader/kitti_loader.py:229-286): two ego-frame views of a
+    street scene >= 10 m apart, 0.3 m voxels. Unlike the indoor dataset the
+    GT pose comes from the vantage difference itself (like KITTI odometry GT),
+    so test pairs carry a real transform with no augmentation; train-phase
+    random rotation/scale compose on top."""
+
+    SEED_BASE = {"train": 4_000_000, "val": 5_000_000, "test": 6_000_000}
+    SIZE = {"train": 2000, "val": 32, "test": 32}
+    DATA_FILES = {"train": None, "val": None, "test": None}  # registry compat
+
+    def __init__(self, phase, transform=None, random_rotation=True,
+                 random_scale=True, manual_seed=False, config=None):
+        super().__init__(phase, transform, random_rotation, random_scale,
+                         manual_seed, config)
+        self.n_points = int(getattr(config, "synthetic_points", 30000) or 30000)
+        self.files = list(range(self.SIZE[phase]))
+        self.seed_base = self.SEED_BASE[phase]
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self.seed_base + int(idx))
+        scene = make_outdoor_scene(rng, self.n_points * 2)
+        xyz0, xyz1, trans = _lidar_views(rng, scene)
+        matching_search_voxel_size = self.matching_search_voxel_size
+        if self.random_scale and rng.rand() < 0.95:
+            scale = self.min_scale + \
+                (self.max_scale - self.min_scale) * rng.rand()
+            matching_search_voxel_size *= scale
+            xyz0 = (scale * xyz0).astype(np.float32)
+            xyz1 = (scale * xyz1).astype(np.float32)
+            trans = trans.copy()
+            trans[:3, 3] *= scale
+        if self.random_rotation:
+            T0 = sample_random_trans(xyz0, rng, self.rotation_range)
+            T1 = sample_random_trans(xyz1, rng, self.rotation_range)
+            trans = T1 @ trans @ np.linalg.inv(T0)
+            xyz0 = self.apply_transform(xyz0, T0).astype(np.float32)
+            xyz1 = self.apply_transform(xyz1, T1).astype(np.float32)
 
         p0, c0, p1, c1 = self.voxelize_pair(xyz0, xyz1)
         matches = native.radius_pairs(p0, p1, trans.astype(np.float32),

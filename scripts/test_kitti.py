@@ -65,7 +65,8 @@ if __name__ == "__main__":
     enable_compilation_cache()
     select_platform()
     config = get_config()
-    if config.dataset not in ("KITTIPairDataset", "KITTINMPairDataset"):
+    if config.dataset not in ("KITTIPairDataset", "KITTINMPairDataset",
+                              "SyntheticLidarPairDataset"):
         config.dataset = "KITTINMPairDataset"
     dgr = DeepGlobalRegistration(config)
     loader = make_data_loader(config, "test", batch_size=1,

@@ -103,3 +103,70 @@ def test_overlap_ratio(rng):
     assert pc.compute_overlap_ratio(a, a.copy(), np.eye(4), 0.05) == 1.0
     b = a + 100.0
     assert pc.compute_overlap_ratio(a, b, np.eye(4), 0.05) == 0.0
+
+
+def _match_residuals(p0, p1, matches, trans):
+    moved = p0[matches[:, 0]] @ trans[:3, :3].T + trans[:3, 3]
+    return np.linalg.norm(moved - p1[matches[:, 1]], axis=1)
+
+
+def test_synthetic_pair_dataset():
+    """Procedural indoor pairs: deterministic per (phase, idx), GT matches
+    within the search radius, disjoint phase seeds."""
+    from deepglobalregistration_tpu.data.synthetic import SyntheticPairDataset
+
+    cfg = default_config(dataset="SyntheticPairDataset", synthetic_points=3000,
+                         voxel_size=0.05)
+    ds = SyntheticPairDataset("train", config=cfg)
+    p0, p1, c0, c1, f0, f1, matches, trans, _ = ds[1]
+    assert len(p0) > 500 and len(matches) > 100
+    radius = cfg.voxel_size * cfg.positive_pair_search_voxel_size_multiplier
+    # random_scale can enlarge the search radius by up to max_scale
+    assert _match_residuals(p0, p1, matches, trans).max() <= \
+        radius * cfg.max_scale + 1e-5
+    p0b, *_ = ds[1]
+    np.testing.assert_array_equal(p0, p0b)  # pure function of (phase, idx)
+    val = SyntheticPairDataset("val", config=cfg)
+    assert not np.array_equal(val[1][0][:100], p0[:100])  # disjoint seeds
+
+
+def test_synthetic_lidar_pair_dataset():
+    """Outdoor LiDAR-scale pairs: KITTI-NM >= 10 m vantage baseline is the GT
+    pose itself on the un-augmented test phase; matches within radius."""
+    from deepglobalregistration_tpu.data.synthetic import (
+        SyntheticLidarPairDataset)
+
+    cfg = default_config(dataset="SyntheticLidarPairDataset",
+                         synthetic_points=6000, voxel_size=0.3)
+    ds = SyntheticLidarPairDataset("test", random_rotation=False,
+                                   random_scale=False, config=cfg)
+    p0, p1, c0, c1, f0, f1, matches, trans, _ = ds[0]
+    assert len(p0) > 1000 and len(matches) > 200
+    assert np.linalg.norm(trans[:3, 3]) >= 9.0  # the >=10 m protocol (z shifts it slightly)
+    R = trans[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    radius = cfg.voxel_size * cfg.positive_pair_search_voxel_size_multiplier
+    assert _match_residuals(p0, p1, matches, trans).max() <= radius + 1e-5
+    # augmented train phase keeps GT-match validity
+    dtr = SyntheticLidarPairDataset("train", config=cfg)
+    p0, p1, c0, c1, f0, f1, matches, trans, _ = dtr[3]
+    assert _match_residuals(p0, p1, matches, trans).max() <= \
+        radius * cfg.max_scale + 1e-5
+
+
+def test_synthetic_trajectory_dataset_convention():
+    """evaluate() expects items (scene, xyz0, xyz1, trans) where inv(trans)
+    is register(xyz0, xyz1)'s GT: mapping xyz0 into xyz1's frame with
+    inv(trans) must land on overlapping geometry."""
+    from deepglobalregistration_tpu.data.synthetic import (
+        SyntheticTrajectoryDataset)
+    from scipy.spatial import cKDTree
+
+    ds = SyntheticTrajectoryDataset(n_points=4000, n_scenes=1,
+                                    pairs_per_scene=2)
+    scene, xyz0, xyz1, trans = ds[0]
+    T = np.linalg.inv(trans)
+    moved = xyz0 @ T[:3, :3].T + T[:3, 3]
+    d, _ = cKDTree(xyz1).query(moved, k=1)
+    # overlap >= 70%: most moved points have a near neighbor in xyz1
+    assert (d < 0.05).mean() > 0.5
