@@ -54,6 +54,11 @@ def main():
                     help="reuse an existing FCGF checkpoint path")
     ap.add_argument("--skip_b", default=None,
                     help="reuse an existing trained checkpoint path (stage C only)")
+    ap.add_argument("--profile", choices=["room", "lidar"], default="room",
+                    help="room: indoor 3DMatch analogue (5 cm voxels, "
+                         "trajectory recall via scripts/test_3dmatch); "
+                         "lidar: outdoor KITTI analogue (30 cm voxels, "
+                         "conv1=5, TE<0.6m/RE<5deg via scripts/test_kitti)")
     args = ap.parse_args()
 
     logging.basicConfig(
@@ -78,7 +83,9 @@ def main():
     from deepglobalregistration_tpu.utils import checkpoint as ckpt_utils
 
     quick = args.quick
-    n_points = args.synthetic_points or (4000 if quick else 15000)
+    lidar = args.profile == "lidar"
+    n_points = args.synthetic_points or (
+        4000 if quick else (30000 if lidar else 15000))
     fcgf_steps = args.fcgf_steps if args.fcgf_steps is not None else (
         6 if quick else 1200)
     max_epoch = args.max_epoch if args.max_epoch is not None else (
@@ -90,11 +97,15 @@ def main():
     out_dir.mkdir(parents=True, exist_ok=True)
 
     config = default_config(
-        dataset="SyntheticPairDataset",
+        dataset="SyntheticLidarPairDataset" if lidar
+        else "SyntheticPairDataset",
         synthetic_points=n_points,
-        voxel_size=0.05,
+        # Outdoor profile follows the reference KITTI recipe where it differs
+        # (scripts/train_kitti.sh: voxel 0.3, conv1=5); success thresholds are
+        # the KITTI test constants (scripts/test_kitti.py:33-34).
+        voxel_size=0.3 if lidar else 0.05,
         feat_model="ResUNetBN2C", feat_model_n_out=32,
-        feat_conv1_kernel_size=7,
+        feat_conv1_kernel_size=5 if lidar else 7,
         inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
         inlier_feature_type="ones",
         optimizer="SGD", lr=1e-1, exp_gamma=0.99,
@@ -103,13 +114,16 @@ def main():
         val_epoch_freq=1, val_max_iter=(2 if quick else 16),
         stat_freq=20, test_valid=False,
         out_dir=str(out_dir),
-        success_rte_thresh=0.3, success_rre_thresh=15.0,
+        success_rte_thresh=0.6 if lidar else 0.3,
+        success_rre_thresh=5.0 if lidar else 15.0,
         # f1, not succ_rate: the weighted-Procrustes success saturates within
         # an epoch (it is weight-SCALE invariant), which froze best-val at
         # epoch 0 while the classifier — whose absolute sigmoid mass drives
         # the pipeline's weighted-sum safeguard gate — was still all-negative.
         best_val_metric="f1",
-        dense_extent="256,256,256",  # dense kmap fast path (hash layouts OOM)
+        # dense kmap fast path (hash layouts OOM). Lidar views span +-45 m of
+        # ego xy at 0.3 m cells (300) + terrain/buildings ~15 m of z.
+        dense_extent="384,384,128" if lidar else "256,256,256",
         # Rooms are ~3x denser per voxel than the bench cloud: exact 6D maps
         # need wider edge budgets (tools/degree_probe.py --room).
         edge_budget_scale=2.5,
@@ -226,24 +240,38 @@ def main():
               f"{trainer.best_val:.4f})", flush=True)
 
     # ---------------------------------------------------------------- C
-    print("[C] benchmark on held-out synthetic trajectories", flush=True)
-    import torch.utils.data
-
     from deepglobalregistration_tpu.core.pipeline import DeepGlobalRegistration
-    from deepglobalregistration_tpu.data.synthetic import SyntheticTrajectoryDataset
-    from scripts.test_3dmatch import evaluate
 
     config.weights = best_ckpt
     dgr = DeepGlobalRegistration(config)
-    dset = SyntheticTrajectoryDataset(
-        n_points=n_points,
-        n_scenes=2 if quick else 4,
-        pairs_per_scene=1 if quick else 8)
-    loader = torch.utils.data.DataLoader(dset, batch_size=1, shuffle=False,
-                                         num_workers=0,
-                                         collate_fn=lambda x: x)
-    stats = evaluate([dgr], ["DGR-TPU-synthetic"], loader, config)
-    s = stats[0]
+    if lidar:
+        print("[C] KITTI-analogue benchmark on held-out lidar pairs",
+              flush=True)
+        from scripts.test_kitti import evaluate as evaluate_kitti
+
+        loader = make_data_loader(config, "test", batch_size=1,
+                                  num_workers=0, shuffle=False)
+        if quick:
+            loader.dataset.files = loader.dataset.files[:2]
+        s = evaluate_kitti(config, loader, dgr)
+        stats_name = "kitti-stats.npz"
+    else:
+        print("[C] benchmark on held-out synthetic trajectories", flush=True)
+        import torch.utils.data
+
+        from deepglobalregistration_tpu.data.synthetic import (
+            SyntheticTrajectoryDataset)
+        from scripts.test_3dmatch import evaluate
+
+        dset = SyntheticTrajectoryDataset(
+            n_points=n_points,
+            n_scenes=2 if quick else 4,
+            pairs_per_scene=1 if quick else 8)
+        loader = torch.utils.data.DataLoader(dset, batch_size=1,
+                                             shuffle=False, num_workers=0,
+                                             collate_fn=lambda x: x)
+        s = evaluate([dgr], ["DGR-TPU-synthetic"], loader, config)[0]
+        stats_name = "3dmatch-stats.npz"
     succ = s[:, 0]
     summary.update(
         recall=float(succ.mean()),
@@ -251,7 +279,7 @@ def main():
         re=float(s[succ > 0, 2].mean()) if succ.any() else None,
         mean_time_s=float(s[:, 3].mean()),
         n_pairs=int(s.shape[0]),
-        stats_npz=str(Path(config.out_dir) / "3dmatch-stats.npz"))
+        stats_npz=str(Path(config.out_dir) / stats_name))
     with open(out_dir / "summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     print("[C] summary:", json.dumps(summary), flush=True)
