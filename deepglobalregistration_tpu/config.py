@@ -151,6 +151,18 @@ tpu_arg.add_argument("--bf16", type=str2bool, default=False,
 tpu_arg.add_argument("--dense_extent", type=str, default="",
                      help="static X,Y,Z voxel box enabling the dense-index "
                           "kernel-map fast path for 3D nets (empty = hash tables)")
+tpu_arg.add_argument("--icp_candidates", type=str, default="auto",
+                     help="ICP neighbor strategy: 'auto' picks candidate "
+                          "lists only above the capacity where the full "
+                          "spatial scan loses (~32k points); 'on'/'off' force")
+tpu_arg.add_argument("--split_register", type=str2bool, default=False,
+                     help="route register() through the staged per-stage jits "
+                          "(features / match+inlier / refine|ransac / icp) "
+                          "instead of the single fused program — ~4 extra "
+                          "dispatch round trips per pair, but each stage "
+                          "compiles separately and far faster (cold-start "
+                          "latency knob; the fused path is the throughput "
+                          "configuration)")
 tpu_arg.add_argument("--edge_budget_scale", type=float, default=1.0,
                      help="multiplier on the 6D edge-map budgets/degree caps "
                           "(tuned at 3DMatch bench density; raise to ~2.5 for "

@@ -44,6 +44,11 @@ log = logging.getLogger(__name__)
 
 _DEFAULT_BUCKETS = (8192, 16384, 32768, 65536, 131072)
 
+# Bucket capacity at which the ICP polish switches from the full per-
+# iteration spatial scan (O(N0*N1) but only ~7 ms at 16k x 16k) to candidate
+# lists (O(N) per iteration after a ~41 ms build) — tools/icp_probe.py.
+_ICP_CAND_MIN_CAP = 32768
+
 
 def _bucket_for(n: int, buckets: Tuple[int, ...]) -> int:
     for b in buckets:
@@ -91,6 +96,10 @@ class DeepGlobalRegistration:
         # 'gpu' = on-device tiled scan; 'cpu' = host cKDTree (reference
         # find_knn_batch dispatch, core/knn.py:77-103).
         self.knn_search_method = str(getattr(config, "knn_search_method", "gpu"))
+        # Cold-start knob: route register() through the per-stage jits (each
+        # compiles separately, far faster than the single fused program) at
+        # the cost of ~4 extra dispatch round trips per pair.
+        self.split_register = bool(getattr(config, "split_register", False))
         # 6D edge budget/cap multiplier for clouds denser than the bench
         # shape (config --edge_budget_scale; models/unet_plan.py docstring).
         self.edge_budget_scale = float(getattr(config, "edge_budget_scale",
@@ -302,13 +311,36 @@ class DeepGlobalRegistration:
                 use_pallas=use_pallas)
             return res.R, res.t
 
+        # ICP neighbor strategy per (static) bucket capacity: the full tiled
+        # spatial scan costs ~7 ms/iteration at 16k x 16k while the candidate-
+        # list BUILD alone costs ~41 ms (tools/icp_probe.py, round 4) — so at
+        # bench scale the full scan wins outright (21 vs 43 ms near-converged,
+        # 59 vs 97 ms coarse) AND is exact for any init (no staleness rerun).
+        # The scan is O(N0*N1) though, so candidate lists still win above
+        # ~32k points; 'auto' switches on the traced capacity.
+        icp_mode = str(getattr(self.config, "icp_candidates", "auto"))
+
+        def use_cand_for(cap: int) -> bool:
+            if icp_mode == "auto":
+                return cap >= _ICP_CAND_MIN_CAP
+            return icp_mode == "on"
+
+        def icp_polish_core(xyz0, xyz1, num0, num1, T):
+            if use_cand_for(xyz0.shape[0]):
+                res = icp_ops.registration_icp_checked(
+                    xyz0, xyz1, num0, num1,
+                    max_correspondence_distance=2 * voxel,
+                    init=T, use_pallas=use_pallas)
+            else:
+                res = icp_ops.registration_icp(
+                    xyz0, xyz1, num0, num1,
+                    max_correspondence_distance=2 * voxel,
+                    init=T, use_pallas=use_pallas, use_candidates=False)
+            return res.T, res.cand_ok
+
         @jax.jit
         def icp_polish(xyz0, xyz1, num0, num1, T):
-            res = icp_ops.registration_icp_checked(
-                xyz0, xyz1, num0, num1,
-                max_correspondence_distance=2 * voxel,
-                init=T, use_pallas=use_pallas)
-            return res.T, res.cand_ok
+            return icp_polish_core(xyz0, xyz1, num0, num1, T)
 
         @jax.jit
         def register_fused(fcgf_params, fcgf_state, inlier_params,
@@ -351,14 +383,13 @@ class DeepGlobalRegistration:
             T = se3.rt_to_matrix(R, t)
             cand_ok = jnp.bool_(True)
             if self.use_icp:
-                # checked: a safeguard-path init can be decimeters off, which
-                # breaks the candidate lists' quarter-cell exactness bound —
-                # the wrapper reruns the full-scan ICP on device when it does.
-                res = icp_ops.registration_icp_checked(
-                    xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
-                    max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas)
-                T, cand_ok = res.T, res.cand_ok
+                # Capacity-dependent neighbor strategy (see icp_polish_core);
+                # when the candidate path is chosen, the checked wrapper
+                # reruns the full scan on device if the init drifts past the
+                # quarter-cell exactness bound (safeguard inits can be
+                # decimeters off).
+                T, cand_ok = icp_polish_core(
+                    xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1], T)
             return T, wsum, overflow3, overflow6, cand_ok, rng_next
 
         # ------------------------------------------------------------------
@@ -406,14 +437,16 @@ class DeepGlobalRegistration:
             T = se3.rt_to_matrix(res.R, res.t)
             cand_ok = jnp.bool_(True)
             if self.use_icp:
-                # No checked wrapper here: lax.cond under vmap runs BOTH
-                # branches, so the fallback would cost a full scan for every
-                # pair. cand_ok is surfaced instead and register_batch reruns
-                # the (rare) stale pairs through the sequential fused path.
+                # Same capacity rule as icp_polish_core, but never the checked
+                # wrapper: lax.cond under vmap runs BOTH branches, so the
+                # fallback would cost a full scan for every pair. When the
+                # candidate path is chosen (large caps), cand_ok is surfaced
+                # and register_batch reruns stale pairs sequentially.
                 icp_res = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas, use_candidates=True)
+                    use_pallas=use_pallas,
+                    use_candidates=use_cand_for(xyz_sel.shape[1]))
                 T, cand_ok = icp_res.T, icp_res.cand_ok
             thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
             return T, (wsum >= thresh) & cand_ok
@@ -682,8 +715,8 @@ class DeepGlobalRegistration:
         behind the dispatches — the per-pair host round trips that serialize
         the sequential loop overlap with device execution. Returns [B, 4, 4].
         Falls back to sequential register() for the host-KNN /
-        feature-matching-safeguard modes."""
-        if self.knn_search_method == "cpu" or \
+        feature-matching-safeguard / --split_register modes."""
+        if self.knn_search_method == "cpu" or self.split_register or \
                 self.safeguard_method != "correspondence":
             return np.stack([self.register(a, b)
                              for a, b in zip(xyz0_list, xyz1_list)])
@@ -773,9 +806,10 @@ class DeepGlobalRegistration:
                                           num=grids.num)
 
         # Fused fast path: one device program from features to the polished T
-        # (the staged path below remains for the host-KNN dispatch and the
-        # feature-matching safeguard, and for per-stage timing).
-        if self.knn_search_method != "cpu" and \
+        # (the staged path below remains for the host-KNN dispatch, the
+        # feature-matching safeguard, per-stage timing, and the
+        # --split_register cold-start mode).
+        if not self.split_register and self.knn_search_method != "cpu" and \
                 self.safeguard_method == "correspondence":
             # Speculative bucket choice: dispatch the fused program at the
             # last pair's bucket WITHOUT waiting for this pair's voxel counts
