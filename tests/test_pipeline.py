@@ -203,3 +203,30 @@ def test_register_many_matches_register(rng, dgr):
     assert Ts.shape == (2, 4, 4)
     np.testing.assert_allclose(Ts[0], T1, atol=1e-4)
     np.testing.assert_allclose(Ts[1], T1, atol=1e-4)
+
+
+def test_split_register_matches_fused(rng):
+    """--split_register routes register() through the per-stage jits (the
+    cold-start knob: each stage compiles separately and far faster than the
+    fused program). Same math, so the recovered pose must match the fused
+    path; register_many must fall back to the sequential loop."""
+    from deepglobalregistration_tpu.config import default_config as dc
+
+    kw = dict(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1)
+    dgr_fused = DeepGlobalRegistration(dc(**kw))
+    dgr_split = DeepGlobalRegistration(dc(split_register=True, **kw))
+    assert dgr_split.split_register
+
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 16], np.float32) * dgr_split.voxel_size
+    T_split = dgr_split.register(xyz, xyz + t)
+    T_fused = dgr_fused.register(xyz, xyz + t)
+    np.testing.assert_allclose(T_split, T_fused, atol=1e-4)
+    np.testing.assert_allclose(T_split[:3, 3], t, atol=0.02)
+
+    Ts = dgr_split.register_many([xyz], [xyz + t])
+    np.testing.assert_allclose(Ts[0], T_split, atol=1e-4)
