@@ -52,7 +52,9 @@ class ScalarWriter:
 def _classification_stats(logits: np.ndarray, labels: np.ndarray, valid: np.ndarray):
     """Precision/recall/F1/TPR/TNR/balanced accuracy over valid rows
     (trainer.py:306-341, 353-489)."""
-    pred = (1 / (1 + np.exp(-logits)) > 0.5) & valid
+    # sigmoid(x) > 0.5 <=> x > 0: skips the exp (which overflow-warns on
+    # large-magnitude negative logits)
+    pred = (logits > 0.0) & valid
     gt = (labels > 0.5) & valid
     tp = float((pred & gt).sum())
     fp = float((pred & ~gt & valid).sum())

@@ -54,6 +54,12 @@ def main():
                     help="reuse an existing FCGF checkpoint path")
     ap.add_argument("--skip_b", default=None,
                     help="reuse an existing trained checkpoint path (stage C only)")
+    ap.add_argument("--balanced", action="store_true",
+                    help="class-balanced inlier BCE (ops/losses.balanced_loss)"
+                         ": at rotation-augmented train hit ratios of ~5-15%"
+                         " the plain BCE collapses the classifier to "
+                         "all-negative (round-4 smoke run: val recall 0.05 at"
+                         " epoch 0, 0.002 by epoch 1)")
     ap.add_argument("--profile", choices=["room", "lidar"], default="room",
                     help="room: indoor 3DMatch analogue (5 cm voxels, "
                          "trajectory recall via scripts/test_3dmatch); "
@@ -121,6 +127,7 @@ def main():
         # epoch 0 while the classifier — whose absolute sigmoid mass drives
         # the pipeline's weighted-sum safeguard gate — was still all-negative.
         best_val_metric="f1",
+        use_balanced_loss=args.balanced,
         # dense kmap fast path (hash layouts OOM). Lidar views span +-45 m of
         # ego xy at 0.3 m cells (300) + terrain/buildings ~15 m of z.
         dense_extent="384,384,128" if lidar else "256,256,256",
