@@ -230,3 +230,27 @@ def test_split_register_matches_fused(rng):
 
     Ts = dgr_split.register_many([xyz], [xyz + t])
     np.testing.assert_allclose(Ts[0], T_split, atol=1e-4)
+
+
+def test_icp_candidates_forced_on_matches_default(rng):
+    """--icp_candidates on|off|auto: at small caps auto picks the full scan
+    (tools/icp_probe.py round 4: the candidate build costs 6x one scan);
+    forcing candidates on must still produce the same pose on a
+    near-converged pair (candidates stay within the quarter-cell bound, and
+    the checked wrapper reruns the full scan when they don't)."""
+    from deepglobalregistration_tpu.config import default_config as dc
+
+    kw = dict(
+        feat_model="ResUNetBN2F", feat_model_n_out=8, feat_conv1_kernel_size=3,
+        inlier_model="ResUNetBN2FX", inlier_conv1_kernel_size=3,
+        voxel_size=0.05, inlier_feature_type="ones",
+        point_buckets="512,1024", ransac_hypotheses=512, level_shrink=1)
+    dgr_scan = DeepGlobalRegistration(dc(**kw))          # auto -> full scan
+    dgr_cand = DeepGlobalRegistration(dc(icp_candidates="on", **kw))
+
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 8], np.float32) * dgr_scan.voxel_size
+    T_scan = dgr_scan.register(xyz, xyz + t)
+    T_cand = dgr_cand.register(xyz, xyz + t)
+    np.testing.assert_allclose(T_cand, T_scan, atol=1e-3)
+    np.testing.assert_allclose(T_scan[:3, 3], t, atol=0.02)
