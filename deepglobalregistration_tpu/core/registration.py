@@ -37,12 +37,20 @@ def global_registration(points: jnp.ndarray, trans_points: jnp.ndarray,
                         max_break_count: int = 20,
                         break_threshold_ratio: float = 1e-4,
                         quantization_size: float = 1.0,
-                        lr: float = 1e-1, gamma: float = 0.999) -> RefineResult:
+                        lr: float = 1e-1, gamma: float = 0.999,
+                        unroll: int = 8) -> RefineResult:
     """Refine the rigid alignment of weighted correspondences.
 
     points, trans_points: [N, 3] padded; weights: [N] (0 on padding rows).
     Defaults mirror the inference call site (deep_global_registration.py:283-289:
     break_threshold_ratio=1e-4, quantization_size=2*voxel).
+
+    unroll: Adam steps per while_loop iteration. The loss problem is tiny
+    ([N, 3] matmul + reduction) so the loop is bound by per-iteration
+    scheduling overhead, not FLOPs; unrolling amortizes it. Results are
+    EXACT regardless of unroll: every step carries an ``active`` mask (the
+    same mask that freezes converged elements under vmap), so steps past a
+    break point are identity.
     """
     eps = 1.1920929e-07
     weights = jax.lax.stop_gradient(weights.astype(jnp.float32))
@@ -67,39 +75,52 @@ def global_registration(points: jnp.ndarray, trans_points: jnp.ndarray,
     schedule = optax.exponential_decay(lr, transition_steps=1, decay_rate=gamma)
     opt = optax.adam(schedule)
     opt_state = opt.init(params)
-    loss_init = loss_fn(params)
+    grad_fn = jax.value_and_grad(loss_fn)
+    loss_init, grads_init = grad_fn(params)
 
     def cond(carry):
-        _, _, _, loss_prev, loss_cur, break_count, i = carry
+        _, _, _, loss_cur, _, break_count, i = carry
         return ((i < max_iter) & (loss_cur >= 1e-7)
                 & (break_count < max_break_count))
 
-    def body(carry):
-        params, opt_state, _, loss_prev, loss_cur, break_count, i = carry
+    def step(carry):
+        params, opt_state, loss_prev, loss_cur, grads_cur, break_count, i = carry
         # Per-element freeze: under vmap the while_loop's cond becomes "any
         # element active" and the body runs on ALL elements — without this
         # mask, already-converged pairs in register_batch kept taking Adam
         # steps past their plateau break (measured cm-scale translation drift
-        # vs the sequential path on the same pair). Scalar True when unvmapped
-        # (cond guarantees it), so the sequential path is unchanged.
-        active = (loss_cur >= 1e-7) & (break_count < max_break_count)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, new_opt = opt.update(grads, opt_state)
+        # vs the sequential path on the same pair). The same mask makes
+        # unrolled steps past a break exact identities. ``loss_cur`` /
+        # ``grads_cur`` are the loss and gradient AT ``params`` — one
+        # value_and_grad per step, carried across iterations (the reference
+        # evaluates the loss once per iteration, registration.py:170-187; a
+        # separate post-step eval would double the loop's forward cost).
+        active = ((loss_cur >= 1e-7) & (break_count < max_break_count)
+                  & (i < max_iter))
+        updates, new_opt = opt.update(grads_cur, opt_state)
         new_params = optax.apply_updates(params, updates)
-        plateau = jnp.abs(loss_prev - loss) < loss_prev * break_threshold_ratio
+        plateau = jnp.abs(loss_prev - loss_cur) < \
+            loss_prev * break_threshold_ratio
         new_break = jnp.where(plateau, break_count + 1, break_count)
-        new_loss = loss_fn(new_params)
+        new_loss, new_grads = grad_fn(new_params)
         frz = lambda new, old: jax.tree.map(
             lambda a, b: jnp.where(active, a, b), new, old)
-        return (frz(new_params, params), frz(new_opt, opt_state), params,
-                jnp.where(active, loss, loss_prev),
+        return (frz(new_params, params), frz(new_opt, opt_state),
+                jnp.where(active, loss_cur, loss_prev),
                 jnp.where(active, new_loss, loss_cur),
+                frz(new_grads, grads_cur),
                 jnp.where(active, new_break, break_count),
                 jnp.where(active, i + 1, i))
 
-    init = (params, opt_state, params, loss_init, loss_init,
+    def body(carry):
+        for _ in range(max(1, unroll)):
+            carry = step(carry)
+        return carry
+
+    init = (params, opt_state, loss_init, loss_init, grads_init,
             jnp.int32(0), jnp.int32(0))
-    params, _, _, _, loss_cur, break_count, i = jax.lax.while_loop(cond, body, init)
+    params, _, _, loss_cur, _, break_count, i = \
+        jax.lax.while_loop(cond, body, init)
 
     R = se3.ortho2rotation(params["rot6d"])[0]
     t = params["trans"][0]
