@@ -141,9 +141,16 @@ class DeepGlobalRegistration:
                 normalize_feature=False, D=6)
             if "inlier_params" in state:
                 self.inlier_params, self.inlier_state = state["inlier_params"], state["inlier_state"]
-            else:
+            elif state.get("state_dict_inlier") is not None:
                 si = state["state_dict_inlier"]
                 self.inlier_params, self.inlier_state = si["params"], si["state"]
+            else:
+                # Feature-only checkpoint (e.g. a converted FCGF .pth, or the
+                # trainer's stage-A bootstrap weights): random-init the 6D
+                # inlier net, mirroring the trainer's own bootstrap
+                # (core/trainer.py loads config.weights as FCGF-only).
+                self.inlier_params, self.inlier_state = self.inlier_spec.init(
+                    jax.random.PRNGKey(1), self.inlier_cfg)
         else:
             # From-scratch initialization (used by tests / training bootstrap).
             self.voxel_size = config.voxel_size

@@ -254,3 +254,35 @@ def test_icp_candidates_forced_on_matches_default(rng):
     T_cand = dgr_cand.register(xyz, xyz + t)
     np.testing.assert_allclose(T_cand, T_scan, atol=1e-3)
     np.testing.assert_allclose(T_scan[:3, 3], t, atol=0.02)
+
+
+def test_feature_only_checkpoint_loads(rng, tmp_path):
+    """A checkpoint holding just the FCGF tree (state_dict_inlier=None, e.g.
+    a converted FCGF .pth or tools/export_bench_weights.py output) must load:
+    trained features drive matching, the 6D inlier net random-inits
+    (core/pipeline.py feature-only fallback)."""
+    import jax
+
+    from deepglobalregistration_tpu.models import load_model
+    from deepglobalregistration_tpu.utils import checkpoint as ckpt_utils
+
+    spec = load_model("ResUNetBN2F")
+    cfg = spec.make_config(1, 8, conv1_kernel_size=3, normalize_feature=True,
+                           D=3)
+    params, state = spec.init(jax.random.PRNGKey(5), cfg)
+    p = tmp_path / "fcgf_only.pkl"
+    ckpt_utils.save_checkpoint(
+        p, epoch=0, params=params, state=state, dtype="bf16", compress=True,
+        config={"voxel_size": 0.05, "inlier_feature_type": "ones",
+                "feat_model": "ResUNetBN2F", "feat_model_n_out": 8,
+                "feat_conv1_kernel_size": 3, "inlier_model": "ResUNetBN2FX",
+                "inlier_conv1_kernel_size": 3, "bn_momentum": 0.05,
+                "normalize_feature": True})
+
+    dgr = DeepGlobalRegistration(default_config(
+        weights=str(p), point_buckets="512,1024", ransac_hypotheses=512,
+        level_shrink=1))
+    xyz = _cloud(rng)
+    t = np.array([8, -8, 16], np.float32) * dgr.voxel_size
+    T = dgr.register(xyz, xyz + t)
+    np.testing.assert_allclose(T[:3, 3], t, atol=0.02)
