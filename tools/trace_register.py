@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--points", type=int, default=30000)
     ap.add_argument("--dense_extent", type=str, default="256,256,256")
     ap.add_argument("--bf16", type=int, default=1)
+    ap.add_argument("--weights", type=str, default=None,
+                    help="checkpoint path (e.g. weights/fcgf_synthetic.pkl) "
+                         "— the bench now runs trained weights, so "
+                         "attribution should too (iteration counts of "
+                         "ICP/refinement are weight-dependent)")
     ap.add_argument("--log_dir", type=str, default="/tmp/register_trace")
     args = ap.parse_args()
 
@@ -48,6 +53,7 @@ def main():
         feat_model="ResUNetBN2C", feat_model_n_out=32, feat_conv1_kernel_size=7,
         inlier_model="ResUNetBN2C", inlier_conv1_kernel_size=3,
         voxel_size=0.05, inlier_feature_type="ones",
+        weights=args.weights,
         dense_extent=args.dense_extent, bf16=bool(args.bf16))
     dgr = DeepGlobalRegistration(config)
     xyz0, xyz1, _ = synthetic_pair(n=args.points, seed=0)
