@@ -1,5 +1,6 @@
 """Benchmark-script coverage over synthetic on-disk fixtures (no real datasets)."""
 
+import jax
 import numpy as np
 import torch.utils.data
 
@@ -70,3 +71,26 @@ def test_evaluate_loop_and_stats(tmp_path, rng):
     summarize(stats, ["oracle"])
     rte_grid, rre_grid, curves = recall_curves(stats, ["oracle"])
     assert curves["oracle"][0][-1] == 1.0  # full recall at the loosest threshold
+
+
+def test_bench_weights_checkpoint_committed():
+    """The committed bench weights (weights/fcgf_synthetic.pkl, loaded by
+    bench.py when present) must stay loadable and stamp the exact network
+    config the bench pipeline expects — a drifted or corrupt file would
+    silently flip the driver benchmark back to random weights."""
+    from pathlib import Path
+
+    from deepglobalregistration_tpu.utils import checkpoint as ckpt_utils
+
+    path = Path(__file__).resolve().parent.parent / "weights" / "fcgf_synthetic.pkl"
+    assert path.exists(), "bench weights missing (tools/export_bench_weights.py)"
+    state = ckpt_utils.load_checkpoint(path)
+    cfg = state["config"]
+    assert cfg["feat_model"] == "ResUNetBN2C"
+    assert cfg["feat_model_n_out"] == 32
+    assert cfg["feat_conv1_kernel_size"] == 7
+    assert cfg["voxel_size"] == 0.05
+    assert cfg["normalize_feature"] is True
+    assert state.get("state_dict_inlier") is None  # feature-only by design
+    params = state["state_dict"]["params"]
+    assert len(jax.tree.leaves(params)) > 10  # a real ResUNet tree
