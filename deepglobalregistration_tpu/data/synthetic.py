@@ -214,9 +214,16 @@ def _lidar_views(rng: np.random.RandomState, scene: np.ndarray,
     ang = 2 * np.pi * rng.rand()
     dist = min_dist + 5.0 * rng.rand()
     o1 = o0 + dist * np.array([np.cos(ang), np.sin(ang)])
+    # Absolute heading is arbitrary, but the RELATIVE yaw between the two
+    # vantages follows the KITTI odometry protocol: frames >= 10 m apart in
+    # a drive differ by the vehicle's heading drift (typically well under
+    # 30 deg), not by a uniform 0-360 spin. An independent uniform yaw per
+    # view would demand fully yaw-invariant features — a harder task than
+    # the benchmark this is standing in for.
+    yaw0 = 2 * np.pi * rng.rand()
+    yaws = (yaw0, yaw0 + (rng.rand() - 0.5) * np.pi / 3)
     views, poses = [], []
-    for o in (o0, o1):
-        yaw = 2 * np.pi * rng.rand()
+    for o, yaw in zip((o0, o1), yaws):
         ca, sa = np.cos(yaw), np.sin(yaw)
         R = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float64)
         t = np.array([o[0], o[1], 1.7])  # sensor ~1.7 m above ground
@@ -299,6 +306,14 @@ class SyntheticLidarPairDataset(PairDataset):
         self.n_points = int(getattr(config, "synthetic_points", 30000) or 30000)
         self.files = list(range(self.SIZE[phase]))
         self.seed_base = self.SEED_BASE[phase]
+        # KITTI rotation-augmentation protocol, not the indoor 360-degree
+        # default: the reference passes np.pi/4 into a DEGREES parameter
+        # (kitti_loader.py:228 -> transforms.py:14-23), i.e. +-0.4 deg —
+        # LiDAR scans are gravity-aligned and the relative yaw already comes
+        # from the ego motion. Training this analogue with full SO(3)
+        # augmentation (the config default, 360) made the FCGF stage
+        # unlearnable at this step budget (val 1-NN hit ratio stuck at 0.3%).
+        self.rotation_range = np.pi / 4
 
     def __getitem__(self, idx):
         rng = np.random.RandomState(self.seed_base + int(idx))
