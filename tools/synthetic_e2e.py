@@ -134,6 +134,11 @@ def main():
         # Rooms are ~3x denser per voxel than the bench cloud: exact 6D maps
         # need wider edge budgets (tools/degree_probe.py --room).
         edge_budget_scale=2.5,
+        # The lidar profile trains at the 32768 voxel bucket where the
+        # full-tape inlier step needs ~16.3 GB (>15.75 GB HBM on v5e);
+        # rematerializing the 6D net's forward trades ~1 extra forward for
+        # fitting batch 2 (core/train_step.py remat path).
+        remat=lidar,
         bf16=True)
     dense_extent = tuple(int(x) for x in config.dense_extent.split(","))
 
