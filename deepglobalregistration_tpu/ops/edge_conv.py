@@ -125,12 +125,18 @@ def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
     einsum('ms,msd->md') against a rank one-hot rides the MXU and measured
     ~15x faster. Exact: values are encoded +1 (0 = empty) and stay below
     2^24, each output column receives at most one nonzero contribution (ranks
-    are unique per row), so f32 accumulation never rounds."""
+    are unique per row), so f32 accumulation never rounds.
+
+    Wide maps accumulate over S in chunks: XLA fuses the rank one-hot into
+    the einsum but MATERIALIZES the [M, 5, S] digit stack — at multimap
+    training scale ([2, 32768, 5, 3456] bf16) that one temp is 2.1 GB and
+    OOMed the 32768-bucket inlier train step on v5e (16.25/15.75 GB HBM).
+    Chunk partials land in disjoint output columns (ranks are unique across
+    the whole row), so f32 accumulation across chunks stays exact."""
     m, s = kt_vals.shape
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     overflow = jnp.any(jnp.sum(valid, axis=1) > d_cap)
     tgt = jnp.where(valid & (rank < d_cap), rank, d_cap)  # d_cap = spill slot
-    onehot = jax.nn.one_hot(tgt, d_cap + 1, dtype=jnp.float32)  # [M, S, D+1]
     # Values ride the matmul as BASE-256 DIGITS: TPU einsums multiply in
     # bf16 by default, which rounds integers above 256 — carrying raw row
     # indices corrupted edges by +-1 on hardware (caught by
@@ -140,14 +146,39 @@ def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
     # exact.
     kv = jnp.where(valid, kt_vals + 1, 0)
     iv = jnp.where(valid, it_vals + 1, 0)
-    vals = jnp.stack([
-        (kv & 0xFF).astype(jnp.float32),
-        ((kv >> 8) & 0xFF).astype(jnp.float32),
-        (iv & 0xFF).astype(jnp.float32),
-        ((iv >> 8) & 0xFF).astype(jnp.float32),
-        ((iv >> 16) & 0xFF).astype(jnp.float32),
-    ], axis=1)  # [M, 5, S]
-    packed = jnp.einsum("mcs,msd->mcd", vals, onehot)[..., :d_cap]
+
+    def digit_pack(kv_c, iv_c, tgt_c):
+        onehot = jax.nn.one_hot(tgt_c, d_cap + 1, dtype=jnp.float32)
+        vals = jnp.stack([
+            (kv_c & 0xFF).astype(jnp.float32),
+            ((kv_c >> 8) & 0xFF).astype(jnp.float32),
+            (iv_c & 0xFF).astype(jnp.float32),
+            ((iv_c >> 8) & 0xFF).astype(jnp.float32),
+            ((iv_c >> 16) & 0xFF).astype(jnp.float32),
+        ], axis=1)  # [M, 5, s_chunk]
+        return jnp.einsum("mcs,msd->mcd", vals, onehot)
+
+    s_chunk = 1024
+    if s <= s_chunk:
+        packed = digit_pack(kv, iv, tgt)[..., :d_cap]
+    else:
+        n_chunks = -(-s // s_chunk)
+        pad = n_chunks * s_chunk - s
+        # padding ranks to the spill slot keeps pad lanes out of [0, d_cap)
+        kv_t = jnp.pad(kv, ((0, 0), (0, pad))).reshape(m, n_chunks, s_chunk)
+        iv_t = jnp.pad(iv, ((0, 0), (0, pad))).reshape(m, n_chunks, s_chunk)
+        tgt_t = jnp.pad(tgt, ((0, 0), (0, pad)),
+                        constant_values=d_cap).reshape(m, n_chunks, s_chunk)
+
+        def body(acc, inp):
+            kv_c, iv_c, tgt_c = inp
+            return acc + digit_pack(kv_c, iv_c, tgt_c), None
+
+        packed, _ = jax.lax.scan(
+            body, jnp.zeros((m, 5, d_cap + 1), jnp.float32),
+            (jnp.moveaxis(kv_t, 1, 0), jnp.moveaxis(iv_t, 1, 0),
+             jnp.moveaxis(tgt_t, 1, 0)))
+        packed = packed[..., :d_cap]
     dig = packed.astype(jnp.int32)
     pk = dig[:, 0] + (dig[:, 1] << 8)
     pi = dig[:, 2] + (dig[:, 3] << 8) + (dig[:, 4] << 16)

@@ -59,11 +59,20 @@ if __name__ == "__main__":
         sys.exit(0)
 
     print("No --weights given: running the synthetic self-registration demo.")
-    config.feat_model = "ResUNetBN2C"
-    config.feat_model_n_out = 32
-    config.feat_conv1_kernel_size = 7
-    config.inlier_model = "ResUNetBN2C"
-    config.voxel_size = 0.05
+    from pathlib import Path
+
+    bundled = Path(__file__).resolve().parent / "weights" / "fcgf_synthetic.pkl"
+    if bundled.exists():
+        # Committed self-trained FCGF features (tools/export_bench_weights.py)
+        # — the demo then runs the learned path, like the reference demo runs
+        # its downloaded pretrained weights (reference demo.py:14-48).
+        config.weights = str(bundled)
+    else:
+        config.feat_model = "ResUNetBN2C"
+        config.feat_model_n_out = 32
+        config.feat_conv1_kernel_size = 7
+        config.inlier_model = "ResUNetBN2C"
+        config.voxel_size = 0.05
     dgr = DeepGlobalRegistration(config)
     xyz0, xyz1, T_gt = synthetic_pair()
     T = dgr.register(xyz0, xyz1)
@@ -74,5 +83,6 @@ if __name__ == "__main__":
     print("Estimated transformation:\n", T)
     print(f"vs ground truth: RTE {float(rte)*100:.2f} cm, RRE {float(rre):.2f} deg, "
           f"success(0.3m/15deg)={bool(ok)}")
-    print("(random-initialized networks: the learned inlier gate is untrained, so "
-          "the pipeline exercises the safeguard/ICP path)")
+    if not bundled.exists():
+        print("(random-initialized networks: the learned inlier gate is "
+              "untrained, so the pipeline exercises the safeguard/ICP path)")

@@ -353,3 +353,33 @@ def test_edge_conv_grads_vmapped(rng):
         dk_sum += np.asarray(dk_i)
     np.testing.assert_allclose(np.asarray(dk_b), dk_sum,
                                rtol=1e-4, atol=1e-4)
+
+
+def test_rank_compact_chunked_matches_direct(rng):
+    """Wide maps (S > 1024) take the chunked-accumulation path in
+    _rank_compact (the direct path materializes a [M, 5, S] digit stack —
+    2.1 GB at multimap training scale, the round-4 stage-B OOM). Chunk
+    partials land in disjoint one-hot columns, so the result must be
+    bit-identical to the direct einsum."""
+    m, s, k_total, d_cap = 64, 2500, 729, 16
+    kt = rng.randint(0, k_total, size=(m, s)).astype(np.int32)
+    it = rng.randint(0, 60000, size=(m, s)).astype(np.int32)
+    valid = rng.rand(m, s) < 0.004  # sparse: most rows fit within d_cap
+
+    ek, ei, eo, ov = jax.jit(
+        edge_conv._rank_compact, static_argnums=(3, 4))(
+        jnp.asarray(kt), jnp.asarray(it), jnp.asarray(valid), k_total, d_cap)
+
+    # numpy oracle: per-row first-d_cap valid (k, in) pairs in column order
+    ek = np.asarray(ek).reshape(m, d_cap)
+    ei = np.asarray(ei).reshape(m, d_cap)
+    any_over = False
+    for r in range(m):
+        cols = np.nonzero(valid[r])[0]
+        any_over |= len(cols) > d_cap
+        keep = cols[:d_cap]
+        np.testing.assert_array_equal(ei[r, :len(keep)], it[r, keep])
+        np.testing.assert_array_equal(ek[r, :len(keep)], kt[r, keep])
+        assert (ei[r, len(keep):] == -1).all()
+        assert (ek[r, len(keep):] == k_total).all()
+    assert bool(ov) == any_over
