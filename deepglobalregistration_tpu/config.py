@@ -152,6 +152,7 @@ tpu_arg.add_argument("--dense_extent", type=str, default="",
                      help="static X,Y,Z voxel box enabling the dense-index "
                           "kernel-map fast path for 3D nets (empty = hash tables)")
 tpu_arg.add_argument("--icp_candidates", type=str, default="auto",
+                     choices=["auto", "on", "off"],
                      help="ICP neighbor strategy: 'auto' picks candidate "
                           "lists only above the capacity where the full "
                           "spatial scan loses (~32k points); 'on'/'off' force")

@@ -47,6 +47,11 @@ _DEFAULT_BUCKETS = (8192, 16384, 32768, 65536, 131072)
 # Bucket capacity at which the ICP polish switches from the full per-
 # iteration spatial scan (O(N0*N1) but only ~7 ms at 16k x 16k) to candidate
 # lists (O(N) per iteration after a ~41 ms build) — tools/icp_probe.py.
+# 'auto' keys on the PADDED bucket capacity, not the actual voxel count
+# (the choice must be trace-static, and the probe data was measured per
+# bucket): a sparse pair landing just inside a >=32k bucket pays the
+# candidate build where a count-based rule might pick the scan, but stays
+# within ~2x of optimal; re-bucketing by count would re-trace per count.
 _ICP_CAND_MIN_CAP = 32768
 
 
@@ -78,6 +83,10 @@ class DeepGlobalRegistration:
         self.use_icp = True
         self.feat_timer = Timer()
         self.reg_timer = Timer()
+        # Cumulative count of register()/register_many() pairs whose plans
+        # dropped kernel-map entries (3D or 6D overflow) — exactness telemetry
+        # for callers (bench.py fails loud on a nonzero count).
+        self.overflow_count = 0
         self.buckets = tuple(int(b) for b in str(
             getattr(config, "point_buckets", "")).split(",") if b) or _DEFAULT_BUCKETS
         self.level_shrink = int(getattr(config, "level_shrink", 2))
@@ -141,16 +150,21 @@ class DeepGlobalRegistration:
                 normalize_feature=False, D=6)
             if "inlier_params" in state:
                 self.inlier_params, self.inlier_state = state["inlier_params"], state["inlier_state"]
+                self.inlier_trained = True
             elif state.get("state_dict_inlier") is not None:
                 si = state["state_dict_inlier"]
                 self.inlier_params, self.inlier_state = si["params"], si["state"]
+                self.inlier_trained = True
             else:
                 # Feature-only checkpoint (e.g. a converted FCGF .pth, or the
                 # trainer's stage-A bootstrap weights): random-init the 6D
                 # inlier net, mirroring the trainer's own bootstrap
                 # (core/trainer.py loads config.weights as FCGF-only).
+                # inlier_trained lets callers (bench, demo) label the config
+                # honestly — the learned gate is untrained in this mode.
                 self.inlier_params, self.inlier_state = self.inlier_spec.init(
                     jax.random.PRNGKey(1), self.inlier_cfg)
+                self.inlier_trained = False
         else:
             # From-scratch initialization (used by tests / training bootstrap).
             self.voxel_size = config.voxel_size
@@ -170,6 +184,7 @@ class DeepGlobalRegistration:
                 conv1_kernel_size=config.inlier_conv1_kernel_size,
                 normalize_feature=False, D=6)
             self.inlier_params, self.inlier_state = self.inlier_spec.init(k1, self.inlier_cfg)
+            self.inlier_trained = False
 
         # Inference-only BN folding (utils/fold_bn.py; SURVEY.md 7.3 cheap win).
         if getattr(config, "fold_bn", True):
@@ -326,6 +341,13 @@ class DeepGlobalRegistration:
         # The scan is O(N0*N1) though, so candidate lists still win above
         # ~32k points; 'auto' switches on the traced capacity.
         icp_mode = str(getattr(self.config, "icp_candidates", "auto"))
+        if icp_mode not in ("auto", "on", "off"):
+            # config may come from a checkpoint-embedded dict, bypassing the
+            # argparse choices guard; a typo must not silently force the
+            # O(N^2) full scan at 65k-point buckets. Eager: fail at
+            # construction, not first trace.
+            raise ValueError(
+                f"icp_candidates must be auto|on|off, got {icp_mode!r}")
 
         def use_cand_for(cap: int) -> bool:
             if icp_mode == "auto":
@@ -449,10 +471,14 @@ class DeepGlobalRegistration:
                 # fallback would cost a full scan for every pair. When the
                 # candidate path is chosen (large caps), cand_ok is surfaced
                 # and register_batch reruns stale pairs sequentially.
+                # use_pallas=False: the full-scan path's fused 1-NN inside
+                # ICP's while_loop is unvalidated under vmap on hardware
+                # (unlike the match stage's direct batched call above); the
+                # XLA scan find is exact either way.
                 icp_res = icp_ops.registration_icp(
                     xyz_sel[0], xyz_sel[1], grids.num[0], grids.num[1],
                     max_correspondence_distance=2 * voxel, init=T,
-                    use_pallas=use_pallas,
+                    use_pallas=False,
                     use_candidates=use_cand_for(xyz_sel.shape[1]))
                 T, cand_ok = icp_res.T, icp_res.cand_ok
             thresh = jnp.maximum(200.0, 0.05 * grids.num[0].astype(jnp.float32))
@@ -748,6 +774,8 @@ class DeepGlobalRegistration:
                     self.fcgf_params, self.fcgf_state, self.inlier_params,
                     self.inlier_state, redo_key, xs, gr)
             T, wsum, ov3, ov6, cand_ok = jax.device_get(spec[:5])
+            if bool(ov3) or bool(ov6):
+                self.overflow_count += 1
             if bool(ov3):
                 log.warning("kernel-map table overflow: entries dropped")
             if bool(ov6):
@@ -854,6 +882,8 @@ class DeepGlobalRegistration:
                 (T_dev, wsum_dev, ov3, ov6, cand_ok))
             T = np.asarray(T, np.float64)
             wsum = float(wsum)
+            if bool(ov3) or bool(ov6):
+                self.overflow_count += 1
             if bool(ov3):
                 log.warning(
                     "kernel-map table overflow: entries dropped (cloud exceeds "
@@ -906,6 +936,8 @@ class DeepGlobalRegistration:
         wsum = float(wsum_dev)  # host sync: the safeguard gate scalar
         if bool(overflow6):
             log.warning("6D inlier kernel-map table overflow: entries dropped")
+        if bool(overflow) or bool(overflow6):
+            self.overflow_count += 1
 
         num0 = int(nvox[0])
         wsum_threshold = max(200, num0 * 0.05)

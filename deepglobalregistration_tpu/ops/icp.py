@@ -123,8 +123,9 @@ def registration_icp(source: jnp.ndarray, target: jnp.ndarray, num_src: jnp.ndar
     doc) — ~10x cheaper per iteration but requires a near-converged init
     (the pipeline polish opts in; check cand_ok). Default False = the full
     per-iteration spatial scan, exact for any init.
-    use_pallas: fused 1-NN kernel for the full-scan path (TPU, non-vmapped
-    call sites only).
+    use_pallas: fused 1-NN kernel for the full-scan path (TPU only; keep
+    False from vmapped callers — the kernel inside this while_loop is
+    unvalidated under vmap on hardware, see ops/knn.pallas_ok).
     f32_rmse_floor: optional relative rmse-delta floor. Default 0.0 = o3d's
     exact absolute-epsilon criteria. Historical note: a 1e-3 floor shipped
     while the platform's default matmul precision silently ran f32 geometry

@@ -31,8 +31,11 @@ _INF = np.float32(np.inf)  # numpy: avoid backend init at import
 
 def pallas_ok() -> bool:
     """Whether the fused Pallas 1-NN kernel should be used (direct-attached
-    TPU backends only). Callers must still pass use_pallas=False from vmapped
-    contexts.
+    TPU backends only). vmap over the kernel is supported (jax batches
+    pallas_call by prepending a grid axis; register_batch's match stage uses
+    it, equality-tested against register()), but callers should keep
+    use_pallas=False for vmapped calls nested in while_loops (e.g. the ICP
+    full scan) — that combination is unvalidated on hardware.
 
     Excluded on the tunneled 'axon' backend: Mosaic custom-call dispatches
     there pay a content-dependent cost that scales with input entropy —

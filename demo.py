@@ -86,3 +86,8 @@ if __name__ == "__main__":
     if not bundled.exists():
         print("(random-initialized networks: the learned inlier gate is "
               "untrained, so the pipeline exercises the safeguard/ICP path)")
+    elif not dgr.inlier_trained:
+        # The bundled checkpoint is feature-only: trained FCGF features, but
+        # the 6D inlier gate is still random-initialized.
+        print("(feature-only weights: FCGF is trained but the learned inlier "
+              "gate is untrained — weights may be conservative)")
