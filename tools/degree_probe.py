@@ -76,6 +76,27 @@ def _stats(v: np.ndarray) -> dict:
             "p99": int(np.percentile(v, 99)), "mean": round(float(v.mean()), 2)}
 
 
+def _live_extent(keys_in: np.ndarray, keys_out: np.ndarray,
+                 deltas: np.ndarray, tile: int = 128) -> dict:
+    """Exact total edges + tile-padded live extent of one kernel map.
+
+    The edge-conv live budget (models/unet_plan.budget) is compared against
+    the TILE-PADDED extent: every populated offset bin rounds up to a whole
+    tile (ops/edge_conv._edges_to_tiles), so the structural padding must be
+    measured too, not just the edge total."""
+    s = np.sort(keys_in)
+    total = 0
+    padded = 0
+    for d in deltas:
+        q = keys_out + d
+        pos = np.searchsorted(s, q)
+        pos = np.minimum(pos, len(s) - 1)
+        cnt = int(np.sum(s[pos] == q))
+        total += cnt
+        padded += -(-cnt // tile) * tile
+    return {"edges": total, "tile_padded": padded}
+
+
 def probe_levels(c6: np.ndarray, n_levels: int) -> list[dict]:
     """Exact per-level stats for the paired-plan pyramid of one 6D grid."""
     from itertools import product
@@ -93,15 +114,17 @@ def probe_levels(c6: np.ndarray, n_levels: int) -> list[dict]:
         # group multiplicity by first-half (c0) value
         k0 = keys & ((1 << (3 * _FIELD_BITS)) - 1)
         _, counts = np.unique(k0, return_counts=True)
+        deltas = _pack_delta(offs, unit)
         rec = {"level": level, "rows": len(level_coords),
                "multiplicity": _stats(counts),
-               "self_degree": _stats(_degrees(keys, keys,
-                                              _pack_delta(offs, unit)))}
+               "self_degree": _stats(_degrees(keys, keys, deltas)),
+               "self_live": _live_extent(keys, keys, deltas)}
         if level + 1 < n_levels:
             coarse = np.unique((level_coords >> (level + 1)) << (level + 1),
                                axis=0)
-            rec["down_degree"] = _stats(
-                _degrees(keys, _pack6(coarse), _pack_delta(offs, unit)))
+            ckeys = _pack6(coarse)
+            rec["down_degree"] = _stats(_degrees(keys, ckeys, deltas))
+            rec["down_live"] = _live_extent(keys, ckeys, deltas)
         out.append(rec)
     return out
 
@@ -139,6 +162,18 @@ def main():
                          "approach: every consistent 3D neighbor becomes a "
                          "6D edge, so degrees are far higher than under "
                          "random matching. No TPU or model needed.")
+    ap.add_argument("--weights", default=None,
+                    help="checkpoint for the default (pipeline) mode: probe "
+                         "the TRAINED-weights correspondence grids — the "
+                         "regime the bench measures (bench.py defaults to "
+                         "weights/fcgf_synthetic.pkl), where matching is "
+                         "spatially consistent and degrees approach the "
+                         "--aligned upper bound.")
+    ap.add_argument("--save_c6", default=None,
+                    help="npz path: save each seed's 6D correspondence grid "
+                         "(int16 [N, 6]) for offline/CPU regression tests of "
+                         "the plan builder's caps (tests/test_bench_shape_"
+                         "budgets.py pins the trained-matching grids).")
     ap.add_argument("--room", action="store_true",
                     help="probe the synthetic-room trajectory shape "
                          "(data/synthetic.py make_room — denser than the "
@@ -204,9 +239,12 @@ def main():
         feat_conv1_kernel_size=7, inlier_model="ResUNetBN2C",
         inlier_conv1_kernel_size=3, voxel_size=0.05,
         inlier_feature_type="ones", dense_extent="256,256,256", bf16=True)
+    if args.weights:
+        config.weights = args.weights
     dgr = DeepGlobalRegistration(config)
 
     print(json.dumps({"caps": current_caps(args.levels)}))
+    saved = {}
     for seed in range(args.seeds):
         xyz0, xyz1, _ = synthetic_pair(n=args.n, seed=seed)
         _, coords0, _ = dgr.preprocess(xyz0)
@@ -215,8 +253,13 @@ def main():
         f1 = dgr.fcgf_feature_extraction(None, coords1)
         _, idx1 = dgr.fcgf_feature_matching(f0, f1)
         c6 = np.concatenate([coords0, coords1[np.asarray(idx1)]], axis=1)
+        if args.save_c6:
+            saved[f"seed{seed}"] = c6.astype(np.int16)
         for rec in probe_levels(c6, args.levels):
             print(json.dumps({"seed": seed, **rec}))
+    if args.save_c6:
+        np.savez_compressed(args.save_c6, **saved)
+        print(json.dumps({"saved": args.save_c6, "pairs": len(saved)}))
 
 
 if __name__ == "__main__":
