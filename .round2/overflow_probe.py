@@ -62,14 +62,14 @@ def probe(c0, c1, num):
                                               g.num, b)
         out[f"mm{i}_overflow"] = mm.overflow
         if i >= 1:
-            sk, si = paired_kernel_map.edge_slots_from_multimap(
+            sk, si, _ = paired_kernel_map.edge_slots_from_multimap(
                 mm, g.coords[:, :3], g.coords[:, 3:], g.num, offs3, 2 ** i)
             valid = (sk >= 0) & (si >= 0)
             deg = jnp.sum(valid.astype(jnp.int32), axis=0)
             out[f"self{i}_maxdeg"] = jnp.max(deg)
             out[f"self{i}_meandeg"] = jnp.sum(deg) / jnp.maximum(g.num, 1)
         if i < 3:
-            sk, si = paired_kernel_map.edge_slots_from_multimap(
+            sk, si, _ = paired_kernel_map.edge_slots_from_multimap(
                 mm, gs[i + 1].coords[:, :3], gs[i + 1].coords[:, 3:],
                 gs[i + 1].num, offs3, 2 ** i)
             valid = (sk >= 0) & (si >= 0)

@@ -172,6 +172,15 @@ _SELF_CAP_6D = (27, 64, 96, 256)
 _DOWN_CAP_6D = (24, 64, 96)
 _SELF_BUDGET_6D = (12, 18, 16, 48)
 _DOWN_BUDGET_6D = (8, 6, 6)
+# Per-(3D offset, output row) verified-edge cap, by MULTIMAP level (0 = no
+# group compaction). The multimap probe yields B = _B_CAP_6D member slots per
+# (a, j) but the verified count is tiny — max 4/10/20 at levels 1/2/3 on the
+# pinned trained-matching bench grids (tools/per_offset_hits.py; the aligned
+# regime is the same or lower). Compacting B -> this cap first shrinks the
+# per-row d_cap compaction einsum by 4-5.3x at bench shape with >= 1.6x
+# headroom on the measured max (r5 trace: those einsums were 110 ms of the
+# 474 ms pair device total). Beyond-cap edges drop with the overflow flag.
+_AJ_CAP_6D = (0, 0, 16, 32)
 
 
 def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
@@ -330,12 +339,23 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             return int(_DOWN_CAP_6D[min(level, len(_DOWN_CAP_6D) - 1)]
                        * budget_scale)
 
+        def aj_cap(level, capacity):
+            # Tiny grids (tests, small clouds) skip group compaction like the
+            # budgets skip: exactness there is cheap, and degenerate dense
+            # grids can exceed the bench-measured per-(a, j) maxima.
+            c = _AJ_CAP_6D[min(level, len(_AJ_CAP_6D) - 1)]
+            if not c or capacity < 4096:
+                return None
+            return int(c * budget_scale)
+
         selfs = [self0]
         for i in range(1, n_levels):
-            sk, si = paired_kernel_map.edge_slots_from_multimap(
+            sk, si, so = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
                 grids[i].num, offs3, unit=2 ** i,
-                dense_extent=ext(i), log2_stride=i)
+                dense_extent=ext(i), log2_stride=i,
+                group_cap=aj_cap(i, grids[i].capacity))
+            overflow = jnp.logical_or(overflow, so)
             em = ec.build_edge_map_from_slots(
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=self_cap(i),
                 live_cap=budget(
@@ -347,10 +367,12 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
 
         downs, ups = [], []
         for i in range(n_levels - 1):
-            sk, si = paired_kernel_map.edge_slots_from_multimap(
+            sk, si, so = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i + 1].coords[:, :3], grids[i + 1].coords[:, 3:],
                 grids[i + 1].num, offs3, unit=2 ** i,
-                dense_extent=ext(i), log2_stride=i)
+                dense_extent=ext(i), log2_stride=i,
+                group_cap=aj_cap(i, grids[i].capacity))
+            overflow = jnp.logical_or(overflow, so)
             dn, up = ec.build_edge_maps_down_up_from_slots(
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i),
                 live_cap=budget(

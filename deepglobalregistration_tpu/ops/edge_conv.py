@@ -146,6 +146,24 @@ def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
     # exact.
     kv = jnp.where(valid, kt_vals + 1, 0)
     iv = jnp.where(valid, it_vals + 1, 0)
+    pk, pi = _rank_take(kv, iv, tgt, d_cap)
+    edge_k = jnp.where(pk > 0, pk - 1, k_total).astype(jnp.int32)
+    edge_in = (pi - 1).astype(jnp.int32)  # empty -> -1
+    edge_k = jnp.where(edge_in >= 0, edge_k, k_total)
+    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
+                                (m, d_cap))
+    return (edge_k.reshape(-1), edge_in.reshape(-1), edge_out.reshape(-1),
+            overflow)
+
+
+def _rank_take(kv: jnp.ndarray, iv: jnp.ndarray, tgt: jnp.ndarray,
+               d_cap: int):
+    """Permute encoded value pairs [R, S] into their rank slots [R, d_cap]
+    via the digit matmul (see _rank_compact for the exactness argument).
+    kv/iv are +1-encoded (0 = empty, kv < 2^16, iv < 2^24); tgt holds each
+    slot's destination column with d_cap acting as the discard slot.
+    Returns (pk, pi) int32 [R, d_cap], still +1-encoded."""
+    m, s = kv.shape
 
     def digit_pack(kv_c, iv_c, tgt_c):
         onehot = jax.nn.one_hot(tgt_c, d_cap + 1, dtype=jnp.float32)
@@ -182,13 +200,36 @@ def _rank_compact(kt_vals: jnp.ndarray, it_vals: jnp.ndarray,
     dig = packed.astype(jnp.int32)
     pk = dig[:, 0] + (dig[:, 1] << 8)
     pi = dig[:, 2] + (dig[:, 3] << 8) + (dig[:, 4] << 16)
-    edge_k = jnp.where(pk > 0, pk - 1, k_total).astype(jnp.int32)
-    edge_in = (pi - 1).astype(jnp.int32)  # empty -> -1
-    edge_k = jnp.where(edge_in >= 0, edge_k, k_total)
-    edge_out = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[:, None],
-                                (m, d_cap))
-    return (edge_k.reshape(-1), edge_in.reshape(-1), edge_out.reshape(-1),
-            overflow)
+    return pk, pi
+
+
+def compact_slots_grouped(slot_k: jnp.ndarray, slot_in: jnp.ndarray,
+                          cap: int):
+    """Per-(offset-group, output-row) compaction of slot-form maps:
+    [A, M, B] -> [A, M, cap], keeping each (a, j)'s first `cap` edges.
+
+    The multimap probe (ops/paired_kernel_map.edge_slots_from_multimap)
+    yields B candidate member slots per (3D offset a, output row j), but the
+    VERIFIED count per (a, j) is tiny — max 4/10/20 at levels 1/2/3 on the
+    pinned trained-matching bench grids (tools/per_offset_hits.py) versus
+    member caps B = 8/64/128. Compacting along B first shrinks the slot form
+    the expensive per-row d_cap compaction consumes by B/cap (4-5.3x at
+    bench shape), which is where ~40% of the 6D plan-build device time went
+    (r5 trace: edge_conv one-hot einsums 110 ms of the 474 ms pair total).
+    Beyond-cap edges drop with the overflow flag raised, mirroring every
+    other cap in this module."""
+    a, m, b = slot_k.shape
+    valid = (slot_k >= 0) & (slot_in >= 0)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=-1) - 1
+    overflow = jnp.any(jnp.sum(valid, axis=-1) > cap)
+    tgt = jnp.where(valid & (rank < cap), rank, cap)
+    kv = jnp.where(valid, slot_k + 1, 0)
+    iv = jnp.where(valid, slot_in + 1, 0)
+    pk, pi = _rank_take(kv.reshape(a * m, b), iv.reshape(a * m, b),
+                        tgt.reshape(a * m, b), cap)
+    si = (pi - 1).astype(jnp.int32).reshape(a, m, cap)
+    sk = (pk - 1).astype(jnp.int32).reshape(a, m, cap)
+    return jnp.where(si >= 0, sk, -1), si, overflow
 
 
 def _compact_edges(kmap: jnp.ndarray, d_cap: int, tile: int):

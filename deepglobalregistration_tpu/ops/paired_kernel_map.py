@@ -271,18 +271,24 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
 def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
                              c1_out: jnp.ndarray, num_out: jnp.ndarray,
                              offsets: np.ndarray, unit: int,
-                             dense_extent=None, log2_stride: int = 0):
-    """Slot-form edges (slot_k, slot_in), each [A*B, M], of the kernel map
-    whose INPUT rows are the multimap's grid and whose OUTPUT rows are the
-    (c0_out, c1_out) grid: input i is reachable from output j under offset k
-    when coords_in_i = coords_out_j + offsets[k] * unit.
+                             dense_extent=None, log2_stride: int = 0,
+                             group_cap: int | None = None):
+    """Slot-form edges (slot_k, slot_in, overflow), maps [A*B, M], of the
+    kernel map whose INPUT rows are the multimap's grid and whose OUTPUT rows
+    are the (c0_out, c1_out) grid: input i is reachable from output j under
+    offset k when coords_in_i = coords_out_j + offsets[k] * unit.
 
     Per (distinct first-half offset a, output row j): one 3D table probe finds
     the input c0 group, one member-row gather retrieves <= B candidates with
     their packed c1, and the kernel-offset index comes from the static
     (a, boxed second-half displacement) table. Feed the result to
     ops/edge_conv.build_edge_map_from_slots / build_edge_maps_down_up_from_slots.
-    """
+
+    group_cap: compact each (a, j)'s B member slots to its first group_cap
+    VERIFIED edges before flattening (edge_conv.compact_slots_grouped) — the
+    downstream per-row d_cap compaction then runs over A*group_cap instead of
+    A*B slots. Beyond-cap edges drop with the overflow flag. None (or
+    >= B) = no group compaction (overflow stays False)."""
     offs = np.asarray(offsets) * unit
     off0, lo1, box, tab = _split_offset_tables(offs, unit)
     a_n = len(off0)
@@ -317,6 +323,13 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
         mult *= int(box[i])
     slot_k = _apply_k_table(tab, pidx, in_box)  # [A, M, B]
     slot_in = jnp.where(slot_k >= 0, ridx, -1)
+    overflow = jnp.asarray(False)
+    if group_cap is not None and group_cap < b_slots:
+        from . import edge_conv
+
+        slot_k, slot_in, overflow = edge_conv.compact_slots_grouped(
+            slot_k, slot_in, group_cap)
+        b_slots = group_cap
     slot_k = jnp.moveaxis(slot_k, -1, 1).reshape(a_n * b_slots, m)
     slot_in = jnp.moveaxis(slot_in, -1, 1).reshape(a_n * b_slots, m)
-    return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32)
+    return slot_k.astype(jnp.int32), slot_in.astype(jnp.int32), overflow
