@@ -67,12 +67,25 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
         def ext(level):
             return tuple(max(-(-int(e) // (1 << level)), 1) for e in dense_extent)
 
-        tables = [dense_grid.build_dense_table(g, ext(i), log2_stride=i)
+        # Pad each level's box so every kernel's cube neighborhood stays in
+        # bounds: the patch probes (ops/dense_grid.PATCH_GATHER) then fetch a
+        # row's whole neighborhood with ONE gather index instead of ks^2-ish.
+        # +1 beyond the kernel radius: down-map centers (floor-strided
+        # coarser grids) can sit one cell below the data region.
+        def pad(level):
+            return (conv1_kernel_size // 2 + 1) if level == 0 else 2
+
+        def pext(level):
+            return dense_grid.padded_extent(ext(level), pad(level))
+
+        tables = [dense_grid.build_dense_table(g, ext(i), log2_stride=i,
+                                               pad=pad(i))
                   for i, g in enumerate(grids)]
 
         def kmap(i, out_grid, offs, unit, transpose=False):
             return dense_grid.build_kernel_map_dense(
-                tables[i], ext(i), i, out_grid, offs, unit, transpose=transpose)
+                tables[i], pext(i), i, out_grid, offs, unit,
+                transpose=transpose, pad=pad(i))
     else:
         tables = [hashing.build_table(g.coords, g.num) for g in grids]
 
@@ -88,7 +101,7 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
         if use_dense and region_type == kernel_map.HYPER_CUBE \
                 and conv1_kernel_size % 2 == 1:
             conv1_ones = dense_grid.conv1_ones_occupancy(
-                tables[0], ext(0), grids[0], conv1_kernel_size)
+                tables[0], pext(0), grids[0], conv1_kernel_size, pad=pad(0))
         else:
             conv1_ones = (kmap(0, grids[0], offs1, unit=1) >= 0).T
         conv1_kmap = None
@@ -99,10 +112,13 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
     down_kmaps = tuple(kmap(i, grids[i + 1], offs3, unit=2 ** i)
                        for i in range(n_levels - 1))
     # The 6D edge path derives up maps from the down edge sets (transpose =
-    # same edges, in/out swapped) — no dense up builds needed there.
+    # same edges, in/out swapped) — no dense up builds needed there. The 3D
+    # path derives them too, by scatter (up_from_down): K*M_coarse scatter
+    # stores replace K*M_fine table probes, which were the dense plan's
+    # biggest element-gather line (dense_grid.py:94, ~17 ms/pair on chip).
     edgify = ndim == 6 and EDGE_CONV_6D
     up_kmaps = () if edgify else tuple(
-        kmap(i + 1, grids[i], offs3, unit=2 ** i, transpose=True)
+        up_from_down(down_kmaps[i], grids[i].capacity)
         for i in range(n_levels - 1))
     pool_down: Tuple[jnp.ndarray, ...] = ()
     pool_up: Tuple[jnp.ndarray, ...] = ()
@@ -110,7 +126,7 @@ def build_unet_plan(grid0: Grid, conv1_kernel_size: int, region_type: int,
         offs2 = kernel_map.kernel_offsets(2, ndim, kernel_map.HYPER_CUBE)
         pool_down = tuple(kmap(i, grids[i + 1], offs2, unit=2 ** i)
                           for i in range(n_levels - 1))
-        pool_up = tuple(kmap(i + 1, grids[i], offs2, unit=2 ** i, transpose=True)
+        pool_up = tuple(up_from_down(pool_down[i], grids[i].capacity)
                         for i in range(n_levels - 1))
     overflow = tables[0].overflow
     for t in tables[1:]:
@@ -172,6 +188,18 @@ _SELF_CAP_6D = (27, 64, 96, 256)
 _DOWN_CAP_6D = (24, 64, 96)
 _SELF_BUDGET_6D = (12, 18, 16, 48)
 _DOWN_BUDGET_6D = (8, 6, 6)
+# Spatially-keyed 6D multimap members: a probe then fetches the member rows
+# of a row's whole 3^3 offset neighborhood under ONE gather index
+# (ops/paired_kernel_map.build_multimap dense_members), eliminating the
+# group-id lookups AND the [A, M] member row gathers — the remaining
+# per-index gather costs of the deep-level plan builds. Costs
+# cells * 3 * b_slots words of transient HBM per level, capped below.
+# DEFAULT OFF until measured on chip (r5 tunnel died first): flip after
+# tools/stage_budget.py confirms it wins. The flag only changes layout;
+# edge sets are equality-tested both ways (test_paired_kernel_map).
+DENSE_MEMBERS_6D = False
+_DENSE_MEMBER_WORD_CAP = 256 * 1024 * 1024  # 1 GB of uint32 per level, max
+
 # Per-(3D offset, output row) verified-edge cap, by MULTIMAP level (0 = no
 # group compaction). The multimap probe yields B = _B_CAP_6D member slots per
 # (a, j) but the verified count is tiny — max 4/10/20 at levels 1/2/3 on the
@@ -211,6 +239,27 @@ def _edgify_6d(grids, conv1_kmap, self_kmaps, down_kmaps,
         downs.append(ec.SizedEdgeMap(dn, grids[i + 1].capacity))
         ups.append(ec.SizedEdgeMap(up, grids[i].capacity))
     return conv1, selfs, tuple(downs), tuple(ups), overflow
+
+
+def up_from_down(down_kmap: jnp.ndarray, m_fine: int) -> jnp.ndarray:
+    """Transpose kernel map [K, M_fine] derived from the forward down map.
+
+    down[k, p] = i means c_fine_i = c_coarse_p + off_k * unit, which is
+    exactly the transpose query c_coarse_p = c_fine_j - off_k * unit
+    (ops/kernel_map.py transpose sign flip) answered for j = i at the SAME
+    offset index k — so the up map is a scatter of the down map's edges, no
+    table probes. For fixed (k, i) the coarse coordinate is determined, so at
+    most one p writes each slot (no scatter races). Matches
+    build_kernel_map(..., transpose=True) exactly wherever the down build's
+    tables had no overflow (both enumerate the identical edge set)."""
+    k_total, m_coarse = down_kmap.shape
+    src = jnp.broadcast_to(
+        jnp.arange(m_coarse, dtype=jnp.int32)[None, :], down_kmap.shape)
+    tgt = jnp.where(down_kmap >= 0, down_kmap, m_fine)
+    up = jnp.full((k_total, m_fine + 1), -1, jnp.int32)
+    up = up.at[jnp.arange(k_total, dtype=jnp.int32)[:, None], tgt].set(
+        src, mode="drop")
+    return up[:, :m_fine]
 
 
 def identity_kmap(grid: Grid) -> jnp.ndarray:
@@ -280,27 +329,6 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
                 return None
             return int(per_row * budget_scale) * cap + k_total * _EDGE_TILE
 
-        # conv1 kernels wider than 3 probe (ks/3)^3 more offsets per row;
-        # scale its budget with the probe count.
-        conv1_per_row = _SELF_BUDGET_6D[0] * max(conv1_kernel_size ** 3 // 27,
-                                                 1)
-        sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num, offs1)
-        conv1_kmap = ec.SizedEdgeMap(
-            ec.build_edge_map_from_slots(
-                sk, si, offs1.shape[0], tile=_EDGE_TILE,
-                live_cap=budget(conv1_per_row, grid0.capacity, offs1.shape[0])),
-            grid0.capacity)
-        if conv1_kernel_size == 3:
-            self0 = conv1_kmap
-        else:
-            sk, si = paired_kernel_map.build_edge_slots_paired(c0, c1, num,
-                                                               offs3)
-            self0 = ec.SizedEdgeMap(
-                ec.build_edge_map_from_slots(
-                    sk, si, offs3.shape[0], tile=_EDGE_TILE,
-                    live_cap=budget(_SELF_BUDGET_6D[0], grid0.capacity, offs3.shape[0])),
-                grid0.capacity)
-
         # Group-size bound: exactly 8^level rows can share a strided c0
         # (level-0 c0 is unique), capped per level from measured histograms
         # (beyond-cap edges drop with the overflow flag raised).
@@ -310,20 +338,71 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
 
         # Dense-grid c0 keys when the 3D box is bounded (one int32 gather per
         # probe instead of a packed hash-bucket row gather — the dominant
-        # plan-build cost on chip); hash keys otherwise.
+        # plan-build cost on chip); hash keys otherwise. Boxes carry a pad
+        # border so the 27 first-half offsets of a probe ride ONE patch
+        # gather index per row (ops/dense_grid.PATCH_GATHER; level 0 pads
+        # for the conv1 cube too).
         def ext(level):
             if dense_extent is None:
                 return None
             return tuple(max(-(-int(e) // (1 << level)), 1)
                          for e in dense_extent)
 
+        def pad6(level):
+            # +1 beyond the kernel radius: down-probe centers (floor-strided
+            # coarser c0) can sit one cell below the level's data region.
+            return max(2, conv1_kernel_size // 2 + 1) if level == 0 else 2
+
+        def pext(level):
+            if dense_extent is None:
+                return None
+            from ..ops import dense_grid
+            return dense_grid.padded_extent(ext(level), pad6(level))
+
+        import numpy as _np
+
+        def dense_mem(level):
+            if not DENSE_MEMBERS_6D or dense_extent is None:
+                return False
+            from ..ops import dense_grid
+            cells = int(_np.prod(dense_grid.padded_extent(ext(level),
+                                                          pad6(level))))
+            return cells * 3 * b_slots(level) <= _DENSE_MEMBER_WORD_CAP
+
         mms = []
         for i, g in enumerate(grids):
             mm = paired_kernel_map.build_multimap(
                 g.coords[:, :3], g.coords[:, 3:], g.num, b_slots(i),
-                dense_extent=ext(i), log2_stride=i)
+                dense_extent=ext(i), log2_stride=i, pad=pad6(i),
+                dense_members=dense_mem(i))
             overflow = jnp.logical_or(overflow, mm.overflow)
             mms.append(mm)
+
+        # conv1 kernels wider than 3 probe (ks/3)^3 more offsets per row;
+        # scale its budget with the probe count. Level 0's c0 is unique, so
+        # the level-0 multimap's table doubles as the paired probe's c0
+        # table (group id == row index there) — one build, shared.
+        conv1_per_row = _SELF_BUDGET_6D[0] * max(conv1_kernel_size ** 3 // 27,
+                                                 1)
+        sk, si = paired_kernel_map.build_edge_slots_paired(
+            c0, c1, num, offs1, table0=mms[0].table, dense_extent=pext(0),
+            pad=pad6(0))
+        conv1_kmap = ec.SizedEdgeMap(
+            ec.build_edge_map_from_slots(
+                sk, si, offs1.shape[0], tile=_EDGE_TILE,
+                live_cap=budget(conv1_per_row, grid0.capacity, offs1.shape[0])),
+            grid0.capacity)
+        if conv1_kernel_size == 3:
+            self0 = conv1_kmap
+        else:
+            sk, si = paired_kernel_map.build_edge_slots_paired(
+                c0, c1, num, offs3, table0=mms[0].table, dense_extent=pext(0),
+                pad=pad6(0))
+            self0 = ec.SizedEdgeMap(
+                ec.build_edge_map_from_slots(
+                    sk, si, offs3.shape[0], tile=_EDGE_TILE,
+                    live_cap=budget(_SELF_BUDGET_6D[0], grid0.capacity, offs3.shape[0])),
+                grid0.capacity)
 
         # Per-level edge capacity: the tile sort/scatter work is proportional
         # to M * d_cap, so shallow levels stay tight where measured degrees
@@ -353,8 +432,9 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             sk, si, so = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i].coords[:, :3], grids[i].coords[:, 3:],
                 grids[i].num, offs3, unit=2 ** i,
-                dense_extent=ext(i), log2_stride=i,
-                group_cap=aj_cap(i, grids[i].capacity))
+                dense_extent=pext(i), log2_stride=i,
+                group_cap=aj_cap(i, grids[i].capacity), pad=pad6(i),
+                dense_members=dense_mem(i))
             overflow = jnp.logical_or(overflow, so)
             em = ec.build_edge_map_from_slots(
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=self_cap(i),
@@ -370,8 +450,9 @@ def build_paired_unet_plan(c0: "jnp.ndarray", c1: "jnp.ndarray", num,
             sk, si, so = paired_kernel_map.edge_slots_from_multimap(
                 mms[i], grids[i + 1].coords[:, :3], grids[i + 1].coords[:, 3:],
                 grids[i + 1].num, offs3, unit=2 ** i,
-                dense_extent=ext(i), log2_stride=i,
-                group_cap=aj_cap(i, grids[i].capacity))
+                dense_extent=pext(i), log2_stride=i,
+                group_cap=aj_cap(i, grids[i].capacity), pad=pad6(i),
+                probe_margin=1, dense_members=dense_mem(i))
             overflow = jnp.logical_or(overflow, so)
             dn, up = ec.build_edge_maps_down_up_from_slots(
                 sk, si, offs3.shape[0], tile=_EDGE_TILE, d_cap=down_cap(i),

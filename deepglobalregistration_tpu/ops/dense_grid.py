@@ -44,19 +44,40 @@ class DenseTable(NamedTuple):
     num: jnp.ndarray
 
 
+def padded_extent(extent: Tuple[int, int, int], pad: int
+                  ) -> Tuple[int, int, int]:
+    """The extent a table built with ``pad`` answers lookups against."""
+    return tuple(int(e) + 2 * pad for e in extent)
+
+
 def build_dense_table(grid: Grid, extent: Tuple[int, int, int],
-                      log2_stride: int = 0) -> DenseTable:
+                      log2_stride: int = 0, reduce: str = "set",
+                      pad: int = 0) -> DenseTable:
     """Scatter row indices of a (unique-coordinate) grid into the dense box.
 
     extent: static box size in cells *at this level's stride granularity*.
     log2_stride: coordinates are multiples of 2**log2_stride (pyramid level).
+    reduce: 'set' requires unique coordinates (one row per cell); 'min'
+    accepts duplicates and keeps each cell's SMALLEST row index — the
+    deterministic group representative the 6D multimap builder needs
+    (ops/paired_kernel_map.build_multimap), replacing its hash-based
+    unique_rows pass (~21 ms/pair of claim-round scatters on chip).
+    pad: empty border cells added on EVERY side of the box (the origin
+    shifts by -pad so data starts at cell ``pad``). All subsequent lookups
+    must pass ``padded_extent(extent, pad)``. A pad >= ks//2 guarantees a
+    row's whole ks-cube neighborhood lies inside the box, which lets the
+    patch probes (_gather_patch consumers) fetch it with ONE gather index
+    per row — the per-INDEX cost of XLA's TPU gather is what bounds plan
+    builds (tools/patch_gather_law.py), so collapsing 9-98 indices per row
+    into one is the plan-build fast path.
     """
-    ex, ey, ez = (int(e) for e in extent)
+    ex, ey, ez = (int(e) + 2 * pad for e in extent)
     n = grid.capacity
     valid = grid.valid_mask()
     big = jnp.int32(1 << 29)
     coords = jnp.where(valid[:, None], grid.coords, big)
-    cmin = jnp.min(coords, axis=0)  # dynamic origin (valid rows only)
+    # dynamic origin (valid rows only), shifted so data starts at cell `pad`
+    cmin = jnp.min(coords, axis=0) - jnp.int32(pad << log2_stride)
     rel0 = (grid.coords[:, 0] - cmin[0]) >> log2_stride
     rel1 = (grid.coords[:, 1] - cmin[1]) >> log2_stride
     rel2 = (grid.coords[:, 2] - cmin[2]) >> log2_stride
@@ -64,9 +85,15 @@ def build_dense_table(grid: Grid, extent: Tuple[int, int, int],
            & (rel2 >= 0) & (rel2 < ez) & valid)
     addr = (rel0 * ey + rel1) * ez + rel2
     size = ex * ey * ez
-    dense = jnp.full((size,), -1, jnp.int32)
-    dense = dense.at[jnp.where(inb, addr, size)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    if reduce == "min":
+        dense = jnp.full((size,), n, jnp.int32)
+        dense = dense.at[jnp.where(inb, addr, size)].min(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
+        dense = jnp.where(dense == n, -1, dense)
+    else:
+        dense = jnp.full((size,), -1, jnp.int32)
+        dense = dense.at[jnp.where(inb, addr, size)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop")
     overflow = jnp.any(valid & jnp.logical_not(inb))
     return DenseTable(dense=dense, cmin=cmin, overflow=overflow, num=grid.num)
 
@@ -95,6 +122,105 @@ def dense_lookup_cols(table: DenseTable, extent: Tuple[int, int, int],
     return jnp.where(inb, hit, -1).astype(jnp.int32)
 
 
+# Use ONE lax.gather patch per output row (slice_sizes=(ks,ks,ks)) instead of
+# per-offset element/run gathers wherever the table was built with pad >=
+# ks//2. XLA's TPU gather cost is per-INDEX (~74-153 M idx/s at any table
+# size, tools/gather_law.py), so fetching a row's whole cube neighborhood
+# under one index is the fastest probe shape. Module switch so equivalence
+# tests can build both variants.
+PATCH_GATHER = True
+
+
+def _gather_patch(table: DenseTable, extent: Tuple[int, int, int],
+                  log2_stride: int, coords: jnp.ndarray, valid: jnp.ndarray,
+                  ks: int, pad: int):
+    """[M, ks, ks, ks] neighborhood patches centered on each row's cell.
+
+    Requires pad >= ks//2 + (how far below the table's data region a center
+    can sit): every such row's patch then lies inside the padded box with no
+    boundary shuffling. Centers from the table's OWN grid are always in the
+    data region (margin 0); centers from a floor-strided coarser grid can
+    sit ONE cell below it (margin 1). Rows that are invalid or whose patch
+    would still clamp (out-of-box under extent overflow) return all -1 —
+    the per-offset paths' miss semantics for every cell of their patch.
+    """
+    ex, ey, ez = (int(e) for e in extent)
+    r = ks // 2
+    assert pad >= r, "patch probes need a table built with pad >= ks//2"
+    ok = valid
+    starts = []
+    for i, e in enumerate((ex, ey, ez)):
+        rel = (coords[:, i] - table.cmin[i]) >> log2_stride
+        s = rel - r
+        sc = jnp.clip(s, 0, e - ks)
+        ok = ok & (s == sc)  # false only for invalid / out-of-box rows
+        starts.append(sc)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(
+        table.dense.reshape(ex, ey, ez), jnp.stack(starts, axis=1), dn,
+        (ks, ks, ks), mode="clip")
+    return jnp.where(ok[:, None, None, None], patch, -1)
+
+
+def patch_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
+                           log2_stride: int, out_grid: Grid, ks: int,
+                           pad: int) -> jnp.ndarray:
+    """Full-cube kernel map [ks^3, M] via one patch gather per output row.
+
+    Odometer offset order (dimension 0 fastest — kernel_map.HYPER_CUBE), the
+    [K, M] kernel-map convention; equals _cube_kernel_map_dense exactly."""
+    patch = _gather_patch(table, extent, log2_stride, out_grid.coords,
+                          out_grid.valid_mask(), ks, pad)  # [M, dx, dy, dz]
+    return jnp.transpose(patch, (3, 2, 1, 0)).reshape(ks ** 3, -1)
+
+
+def patch_member_rows(members: jnp.ndarray, table: DenseTable,
+                      extent: Tuple[int, int, int], log2_stride: int,
+                      coords: jnp.ndarray, valid: jnp.ndarray, ks: int,
+                      pad: int, pad_word) -> jnp.ndarray:
+    """[ks^3, M, W] member rows of every cube-offset cell around each row's
+    cell, LEXICOGRAPHIC offset order (dim 0 slowest).
+
+    members: [X*Y*Z, W] spatially-keyed rows (one per dense cell — see
+    ops/paired_kernel_map.build_multimap dense_members). One gather index
+    per output row fetches the whole (ks, ks, ks, W) neighborhood; rows
+    that are invalid or whose patch would clamp return pad_word rows."""
+    ex, ey, ez = (int(e) for e in extent)
+    w = members.shape[-1]
+    r = ks // 2
+    assert pad >= r, "patch probes need a table built with pad >= ks//2"
+    ok = valid
+    starts = []
+    for i, e in enumerate((ex, ey, ez)):
+        rel = (coords[:, i] - table.cmin[i]) >> log2_stride
+        s = rel - r
+        sc = jnp.clip(s, 0, e - ks)
+        ok = ok & (s == sc)
+        starts.append(sc)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3, 4), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2))
+    patch = jax.lax.gather(
+        members.reshape(ex, ey, ez, w), jnp.stack(starts, axis=1), dn,
+        (ks, ks, ks, w), mode="clip")  # [M, dx, dy, dz, W]
+    patch = jnp.where(ok[:, None, None, None, None], patch, pad_word)
+    m = coords.shape[0]
+    return jnp.transpose(patch, (1, 2, 3, 0, 4)).reshape(ks ** 3, m, w)
+
+
+def patch_lookup_cube(table: DenseTable, extent: Tuple[int, int, int],
+                      log2_stride: int, coords: jnp.ndarray,
+                      valid: jnp.ndarray, ks: int, pad: int) -> jnp.ndarray:
+    """[ks^3, M] cube-neighborhood lookups in LEXICOGRAPHIC offset order
+    (dimension 0 slowest, dimension 2 fastest) — the order np.unique gives
+    the 6D builders' distinct first-half offsets
+    (ops/paired_kernel_map._split_offset_tables)."""
+    patch = _gather_patch(table, extent, log2_stride, coords, valid, ks, pad)
+    return patch.reshape(-1, ks ** 3).T
+
+
 def build_occupancy_words(table: DenseTable, extent: Tuple[int, int, int]
                           ) -> jnp.ndarray:
     """Bit-pack the dense table's occupancy along the minor (z) axis.
@@ -102,7 +228,11 @@ def build_occupancy_words(table: DenseTable, extent: Tuple[int, int, int]
     Returns uint32 [ceil(X*Y*Z / 32)]: bit (addr & 31) of word (addr >> 5) is
     set iff cell ``addr`` holds a row. 256^3 cells pack into 2 MB — small
     enough that the conv1 occupancy probe (see conv1_ones_occupancy) reads it
-    at near-cache rates instead of gathering the 64 MB int32 table."""
+    at near-cache rates instead of gathering the 64 MB int32 table.
+
+    (A column-aligned 2D [X*Y, ceil(Z/32)+1] layout enabling whole-patch 2D
+    slices was tried in r5 and measured 9x SLOWER end-to-end: the 9-word
+    minor dimension is hostile to the TPU's 128-lane tiling.)"""
     ex, ey, ez = (int(e) for e in extent)
     size = ex * ey * ez
     nwords = -(-size // 32)
@@ -113,7 +243,8 @@ def build_occupancy_words(table: DenseTable, extent: Tuple[int, int, int]
 
 
 def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
-                         out_grid: Grid, kernel_size: int) -> jnp.ndarray:
+                         out_grid: Grid, kernel_size: int,
+                         pad: int = 0) -> jnp.ndarray:
     """Occupancy matrix O [M, K] for a first-layer conv with ALL-ONES input.
 
     With x == 1 everywhere, ``out[j] = sum_k x[i_k(j)] W_k = O[j] @ W``: the
@@ -134,6 +265,12 @@ def conv1_ones_occupancy(table: DenseTable, extent: Tuple[int, int, int],
     ks = int(kernel_size)
     r = ks // 2
     assert ks % 2 == 1 and ez >= ks, "odd kernels within the box only"
+    if PATCH_GATHER and pad >= r:
+        # One patch gather per row (vs 2*ks^2 word-pair gathers): the gather
+        # wall is per-index, so the int32 patch beats the bit-packed reads.
+        patch = _gather_patch(table, extent, 0, out_grid.coords,
+                              out_grid.valid_mask(), ks, pad)
+        return (jnp.transpose(patch, (0, 3, 2, 1)) >= 0).reshape(-1, ks ** 3)
     words = build_occupancy_words(table, extent)
 
     valid = out_grid.valid_mask()  # [M]
@@ -242,14 +379,25 @@ def _cube_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
 
 def build_kernel_map_dense(table: DenseTable, extent: Tuple[int, int, int],
                            log2_stride: int, out_grid: Grid, offsets,
-                           unit: int, transpose: bool = False) -> jnp.ndarray:
-    """Kernel map [K, M] through the dense index (3D only)."""
+                           unit: int, transpose: bool = False,
+                           pad: int = 0) -> jnp.ndarray:
+    """Kernel map [K, M] through the dense index (3D only).
+
+    extent: the table's PADDED extent when it was built with pad > 0
+    (padded_extent); pad enables the one-gather-per-row patch fast path for
+    full-cube offset sets with ks//2 <= pad."""
     import numpy as np
 
     k, d = offsets.shape
     assert d == 3, "dense grid lookup is 3D-only"
     ks = _is_odometer_cube(offsets)
     if ks and not transpose and unit == (1 << log2_stride):
+        # pad >= ks//2 + 1 (not just ks//2): a strided OUT grid's centers can
+        # sit one cell below the table's data region (floor-striding), i.e.
+        # inside the border — the patch must still fit around them.
+        if PATCH_GATHER and pad >= ks // 2 + 1:
+            return patch_kernel_map_dense(table, extent, log2_stride,
+                                          out_grid, ks, pad)
         return _cube_kernel_map_dense(table, extent, log2_stride, out_grid, ks)
     sign = -1 if transpose else 1
     offs = np.asarray(offsets) * unit * sign

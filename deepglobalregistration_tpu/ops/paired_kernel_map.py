@@ -74,7 +74,9 @@ def build_kernel_map_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
 
 
 def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
-                            offsets: np.ndarray, unit: int = 1):
+                            offsets: np.ndarray, unit: int = 1,
+                            table0=None, dense_extent=None,
+                            log2_stride: int = 0, pad: int = 0):
     """Slot-form edges of the paired 6D self map: (slot_k, slot_in), each
     [S, N] with S = number of distinct first-half 3D offsets (27 for k3).
 
@@ -83,6 +85,12 @@ def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     displacement d1 = c1[cand] - c1[j] via a STATIC (a, d1) -> k table. This
     feeds ops/edge_conv.build_edge_map_from_slots directly — no dense [729, N]
     map and no per-row compaction sort.
+
+    table0: prebuilt c0 lookup table (hash CoordTable or dense-grid
+    DenseTable) — level 0's unique c0 means the level-0 multimap's table is
+    exactly this probe's table, so the caller shares one build. dense_extent/
+    log2_stride select the dense probe (one int32 gather per query vs the
+    hash path's packed-bucket row gather — measured ~2.5x on chip).
     """
     k, d = offsets.shape
     assert d == 6
@@ -91,13 +99,11 @@ def build_edge_slots_paired(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     off0, lo1, box, tab = _split_offset_tables(offs, unit)
     k0n = len(off0)
 
-    table0 = hashing.build_table(c0, num)
+    if table0 is None:
+        table0 = hashing.build_table(c0, num)
     valid = jnp.arange(n, dtype=jnp.int32) < num
-    cols0 = tuple(c0[:, i] for i in range(3))
-    qcols = tuple(cols0[i][None, :] + jnp.asarray(off0[:, i], jnp.int32)[:, None]
-                  for i in range(3))
-    qv = jnp.broadcast_to(valid[None, :], (k0n, n))
-    cand = hashing.lookup_cols(table0, qcols, query_valid=qv)  # [k0n, N]
+    cand = _group_lookup_offsets(table0, c0, valid, off0, unit,
+                                 dense_extent, log2_stride, pad)  # [k0n, N]
     cand_c = jnp.maximum(cand, 0)
 
     # boxed second-half displacement of each candidate
@@ -207,9 +213,50 @@ def _group_lookup(table, qcols, qv, extent, log2_stride):
     return hashing.lookup_cols(table, qcols, query_valid=qv)
 
 
+def _lex_cube_ks(off0: np.ndarray, unit: int) -> int:
+    """ks if off0/unit enumerates a full odd cube in LEXICOGRAPHIC order (the
+    np.unique order _split_offset_tables produces), else 0."""
+    a = np.asarray(off0)
+    ks = round(len(a) ** (1 / 3))
+    if ks ** 3 != len(a) or ks % 2 == 0 or np.any(a % unit):
+        return 0
+    r = ks // 2
+    d = np.arange(-r, r + 1)
+    cube = np.stack(np.meshgrid(d, d, d, indexing="ij"), -1).reshape(-1, 3)
+    return ks if np.array_equal(a // unit, cube) else 0
+
+
+def _group_lookup_offsets(table, coords3, valid, off0, unit, extent,
+                          log2_stride, pad, margin=0):
+    """[A, M] group-id lookups at coords3 + off0[a], one per (offset, row).
+
+    When the table is a padded dense grid and off0 is a full cube, ALL A
+    lookups for a row ride ONE patch gather index (ops/dense_grid
+    .patch_lookup_cube) — the per-index gather wall makes this ~A x cheaper
+    than the per-offset form. margin: how far below the table's data region
+    a query CENTER can sit (0 when coords3 are the table's own rows, 1 when
+    they come from a floor-strided coarser grid); the patch needs pad >=
+    ks//2 + margin to fit around border centers."""
+    from . import dense_grid
+
+    a_n = len(off0)
+    n = coords3.shape[0]
+    if isinstance(table, dense_grid.DenseTable) and unit == (1 << log2_stride):
+        ks = _lex_cube_ks(off0, unit)
+        if ks and pad >= ks // 2 + margin and dense_grid.PATCH_GATHER:
+            return dense_grid.patch_lookup_cube(
+                table, extent, log2_stride, coords3, valid, ks, pad)
+    qcols = tuple(coords3[:, i][None, :]
+                  + jnp.asarray(off0[:, i], jnp.int32)[:, None]
+                  for i in range(3))
+    qv = jnp.broadcast_to(valid[None, :], (a_n, n))
+    return _group_lookup(table, qcols, qv, extent, log2_stride)
+
+
 def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
                    b_slots: int, dense_extent=None,
-                   log2_stride: int = 0) -> PairMultiMap:
+                   log2_stride: int = 0, pad: int = 0,
+                   dense_members: bool = False) -> PairMultiMap:
     """Group the rows of a 6D correspondence grid by their 3D c0 value.
 
     One stride-2 of a level with unique c0 yields groups of <= 8, so b_slots
@@ -217,22 +264,35 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
     overflow flag (the edge-conv d_cap would bound per-row degree anyway).
 
     dense_extent: static [X, Y, Z] cell box (at this level's stride
-    granularity) switching the c0 key to the dense-grid index."""
+    granularity) switching the c0 key to the dense-grid index.
+    dense_members: lay the member matrix out SPATIALLY — one [3*b_slots] row
+    per dense CELL instead of per grid row. A probe then fetches the member
+    rows of a whole 3^3 offset neighborhood under ONE gather index
+    (edge_slots_from_multimap dense_members path), eliminating both the
+    group-id lookup and the per-(offset, row) member row gathers — the two
+    remaining per-index gather costs of the deep-level plan builds. Costs
+    cells*3*b_slots words of transient HBM (the caller bounds it)."""
     n = c0.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     valid = iota < num
-    u_coords, u_num, _ = hashing.unique_rows(c0, num)
+    assert not (dense_members and dense_extent is None), \
+        "dense_members requires a dense-grid key"
     if dense_extent is not None:
         from . import dense_grid
         from .sparse_grid import Grid
 
+        # Group id := the group's SMALLEST row index, scattered directly by
+        # the min-reducing dense build — no unique_rows pass, no hash table
+        # (their claim-round scatters were ~21 ms/pair on chip). Member
+        # layout/probing is group-id-agnostic (any consistent id < n works).
         table = dense_grid.build_dense_table(
-            Grid(coords=u_coords, num=u_num), dense_extent,
-            log2_stride=log2_stride)
+            Grid(coords=c0, num=num), dense_extent,
+            log2_stride=log2_stride, reduce="min", pad=pad)
         g = dense_grid.dense_lookup_cols(
-            table, dense_extent, log2_stride,
+            table, dense_grid.padded_extent(dense_extent, pad), log2_stride,
             tuple(c0[:, i] for i in range(3)), query_valid=valid)
     else:
+        u_coords, u_num, _ = hashing.unique_rows(c0, num)
         table = hashing.build_table(u_coords, u_num)
         # Group id := position of the row's c0 among the distinct values.
         # Every valid row's c0 is present by construction, so g >= 0 for
@@ -250,20 +310,36 @@ def build_multimap(c0: jnp.ndarray, c1: jnp.ndarray, num: jnp.ndarray,
                               jnp.cumsum(counts[:n])])
     pos = iota - starts[jnp.minimum(s_g, n)]
     ok = (s_g < n) & (pos >= 0) & (pos < b_slots)
-    slot = jnp.where(ok, s_g * b_slots + pos, n * b_slots)
     c1w = hashing.pack_rows(c1, valid)
 
-    # One packed [N, 3, B] row per group (fields: c1 word0, c1 word1, row
+    # One packed [*, 3, B] row per group (fields: c1 word0, c1 word1, row
     # index) so a probe gathers its ~100 contiguous words ONCE — three
     # separate [N, B] gathers tripled the row-gather count, the measured
-    # cost driver of the deep-level plan build.
-    flat = jnp.full((n * 3 * b_slots + 3,), hashing._PAD_WORD, jnp.uint32)
-    base = jnp.where(ok, s_g * 3 * b_slots + pos, n * 3 * b_slots)
+    # cost driver of the deep-level plan build. dense_members keys the row
+    # by the group's CELL ADDRESS (spatial layout) instead of its group id.
+    if dense_members:
+        from . import dense_grid
+
+        ex, ey, ez = dense_grid.padded_extent(dense_extent, pad)
+        rel = [(c0[:, i] - table.cmin[i]) >> log2_stride for i in range(3)]
+        inb = ((rel[0] >= 0) & (rel[0] < ex) & (rel[1] >= 0) & (rel[1] < ey)
+               & (rel[2] >= 0) & (rel[2] < ez))
+        addr = (rel[0] * ey + rel[1]) * ez + rel[2]
+        rows_total = ex * ey * ez
+        key = jnp.where(inb[s_idx], addr[s_idx], rows_total)
+    else:
+        rows_total = n
+        key = s_g
+    flat = jnp.full((rows_total * 3 * b_slots + 3,), hashing._PAD_WORD,
+                    jnp.uint32)
+    base = jnp.where(ok & (key < rows_total), key * 3 * b_slots + pos,
+                     rows_total * 3 * b_slots)
     flat = flat.at[base].set(c1w[0][s_idx], mode="drop")
     flat = flat.at[base + b_slots].set(c1w[1][s_idx], mode="drop")
     flat = flat.at[base + 2 * b_slots].set(
         s_idx.astype(jnp.uint32), mode="drop")
-    members = flat[: n * 3 * b_slots].reshape(n, 3 * b_slots)
+    members = flat[: rows_total * 3 * b_slots].reshape(rows_total,
+                                                       3 * b_slots)
     overflow = (jnp.max(counts[:n]) > b_slots) | table.overflow
     return PairMultiMap(table=table, members=members, overflow=overflow)
 
@@ -272,7 +348,9 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
                              c1_out: jnp.ndarray, num_out: jnp.ndarray,
                              offsets: np.ndarray, unit: int,
                              dense_extent=None, log2_stride: int = 0,
-                             group_cap: int | None = None):
+                             group_cap: int | None = None, pad: int = 0,
+                             probe_margin: int = 0,
+                             dense_members: bool = False):
     """Slot-form edges (slot_k, slot_in, overflow), maps [A*B, M], of the
     kernel map whose INPUT rows are the multimap's grid and whose OUTPUT rows
     are the (c0_out, c1_out) grid: input i is reachable from output j under
@@ -296,16 +374,31 @@ def edge_slots_from_multimap(mm: PairMultiMap, c0_out: jnp.ndarray,
     m = c0_out.shape[0]
     validq = jnp.arange(m, dtype=jnp.int32) < num_out
 
-    qcols = tuple(c0_out[:, i][None, :] +
-                  jnp.asarray(off0[:, i], jnp.int32)[:, None] for i in range(3))
-    qv = jnp.broadcast_to(validq[None, :], (a_n, m))
-    g = _group_lookup(mm.table, qcols, qv, dense_extent, log2_stride)  # [A, M]
-    gc = jnp.maximum(g, 0)
-    rows = mm.members[gc]  # [A, M, 3B] — ONE row gather (see PairMultiMap)
-    w0 = rows[..., :b_slots]
-    w1 = rows[..., b_slots:2 * b_slots]
-    ridx = rows[..., 2 * b_slots:].astype(jnp.int32)  # pad word decodes to -1
-    present = (g >= 0)[..., None] & (w0 != hashing._PAD_WORD)
+    if dense_members:
+        from . import dense_grid
+
+        ks = _lex_cube_ks(off0, unit)
+        assert ks and unit == (1 << log2_stride) and pad >= ks // 2 + \
+            probe_margin, "dense_members probe needs a cube + enough pad"
+        # The member rows of a row's whole offset neighborhood under ONE
+        # gather index — no group-id lookup, no per-(offset, row) row gather.
+        rows = dense_grid.patch_member_rows(
+            mm.members, mm.table, dense_extent, log2_stride, c0_out, validq,
+            ks, pad, jnp.uint32(hashing._PAD_WORD))  # [A, M, 3B]
+        w0 = rows[..., :b_slots]
+        w1 = rows[..., b_slots:2 * b_slots]
+        ridx = rows[..., 2 * b_slots:].astype(jnp.int32)  # pad -> -1
+        present = w0 != hashing._PAD_WORD
+    else:
+        g = _group_lookup_offsets(mm.table, c0_out, validq, off0, unit,
+                                  dense_extent, log2_stride, pad,
+                                  margin=probe_margin)  # [A, M]
+        gc = jnp.maximum(g, 0)
+        rows = mm.members[gc]  # [A, M, 3B] — ONE row gather (PairMultiMap)
+        w0 = rows[..., :b_slots]
+        w1 = rows[..., b_slots:2 * b_slots]
+        ridx = rows[..., 2 * b_slots:].astype(jnp.int32)  # pad word -> -1
+        present = (g >= 0)[..., None] & (w0 != hashing._PAD_WORD)
 
     # unpack the members' c1 fields (16-bit packed, see hashing.pack_cols)
     f_off = hashing._FIELD_OFFSET

@@ -136,3 +136,30 @@ def dryrun_step(n_devices: int) -> None:
         for a, b in zip(jax.tree.leaves(inlier_params), jax.tree.leaves(new_params)))
     assert changed, "dryrun step did not update parameters"
     print(f"dryrun_multichip({n_devices}): loss={loss:.4f} ok")
+
+
+def dryrun_fanout(n_devices: int) -> None:
+    """One mesh-sharded inference fan-out (register_batch) on tiny shapes —
+    validates the multi-chip EVAL path (batched vmapped register program,
+    batch axis sharded over the 'data' mesh axis) compiles and executes,
+    complementing dryrun_step's training coverage (VERDICT r4 #7)."""
+    from ..config import default_config
+    from ..core.pipeline import DeepGlobalRegistration
+
+    mesh = make_mesh(n_devices)
+    config = default_config(
+        feat_model="ResUNetBN2F", feat_model_n_out=8,
+        inlier_model="ResUNetBN2FX", voxel_size=0.05,
+        inlier_feature_type="ones")
+    dgr = DeepGlobalRegistration(config)
+    rng = np.random.RandomState(0)
+    xs, ys = [], []
+    for _ in range(n_devices):
+        base = rng.rand(600, 3).astype(np.float32) * 1.5
+        shift = rng.rand(3).astype(np.float32) * 0.1
+        xs.append(base)
+        ys.append(base + shift)
+    Ts = dgr.register_batch(xs, ys, mesh=mesh)
+    assert Ts.shape == (n_devices, 4, 4)
+    assert np.all(np.isfinite(np.asarray(Ts))), "fan-out produced non-finite T"
+    print(f"dryrun_fanout({n_devices}): {len(xs)} pairs ok")

@@ -104,3 +104,66 @@ def test_unet_plan_ones_input_feature_parity(rng, dense):
     out_ones, _ = spec.apply(params, state, cfg, plan_ones, feats, train=False)
     np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out_ones),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("ks", [3, 5])
+def test_padded_patch_paths_match_unpadded(rng, ks):
+    """Tables built with a pad border answer every probe form identically.
+
+    The pad enables the one-gather-per-row patch fast path
+    (dense_grid.PATCH_GATHER): kernel maps, conv1 occupancy, and plain
+    lookups must all equal the unpadded (per-offset) build exactly —
+    including rows at the box boundary, whose neighborhoods now land in the
+    empty border instead of being clamp-masked."""
+    g = _grid(rng, 120, 128, lo=0, hi=20)
+    ext = (20, 24, 33)
+    pad = ks // 2 + 1  # +1 margin: the kmap patch dispatch requires it
+    dt0 = dense_grid.build_dense_table(g, ext)
+    dtp = dense_grid.build_dense_table(g, ext, pad=pad)
+    pext = dense_grid.padded_extent(ext, pad)
+    offs = kernel_map.kernel_offsets(ks, 3, kernel_map.HYPER_CUBE)
+
+    km0 = dense_grid.build_kernel_map_dense(dt0, ext, 0, g, offs, unit=1)
+    kmp = dense_grid.build_kernel_map_dense(dtp, pext, 0, g, offs, unit=1,
+                                            pad=pad)
+    np.testing.assert_array_equal(np.asarray(km0), np.asarray(kmp))
+
+    occ0 = dense_grid.conv1_ones_occupancy(dt0, ext, g, ks)
+    occp = dense_grid.conv1_ones_occupancy(dtp, pext, g, ks, pad=pad)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occp))
+
+    q = rng.randint(-2, 24, size=(300, 3)).astype(np.int32)
+    qcols = tuple(jnp.asarray(q[:, i]) for i in range(3))
+    l0 = dense_grid.dense_lookup_cols(dt0, ext, 0, qcols)
+    lp = dense_grid.dense_lookup_cols(dtp, pext, 0, qcols)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(lp))
+
+    if ks == 3:
+        lex = dense_grid.patch_lookup_cube(
+            dtp, pext, 0, g.coords, g.valid_mask(), 3, pad)
+        # lex order (dim 0 slowest) vs the kernel map's odometer (dim 0
+        # fastest): reversing each offset's digit order maps one to the other.
+        perm = np.arange(27).reshape(3, 3, 3).transpose(2, 1, 0).reshape(-1)
+        np.testing.assert_array_equal(np.asarray(lex)[perm], np.asarray(km0))
+
+
+def test_up_from_down_matches_transpose_probe(rng):
+    """Derived transpose maps == the probe-built ones (same edge set).
+
+    up_from_down scatters the down map's edges instead of probing the coarse
+    table from every fine row (the dense plan's biggest element-gather cost,
+    dense_grid.py:94 ~17 ms/pair on chip)."""
+    from deepglobalregistration_tpu.ops.sparse_grid import stride_down
+
+    g0 = _grid(rng, 150, 160)
+    g1 = stride_down(g0, 2)
+    for ks in (2, 3):
+        offs = kernel_map.kernel_offsets(ks, 3)
+        ht0 = hashing.build_table(g0.coords, g0.num)
+        down = kernel_map.build_kernel_map(ht0, g1, offs, 1)
+        ht1 = hashing.build_table(g1.coords, g1.num)
+        up_probe = kernel_map.build_kernel_map(ht1, g0, offs, 1,
+                                               transpose=True)
+        up_derived = unet_plan.up_from_down(down, g0.capacity)
+        np.testing.assert_array_equal(np.asarray(up_derived),
+                                      np.asarray(up_probe))

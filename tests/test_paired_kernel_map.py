@@ -30,13 +30,18 @@ def test_paired_matches_generic(rng, region):
     np.testing.assert_array_equal(got, expect)
 
 
-def test_dense_keyed_paired_plan_matches_hash_keyed(rng):
+@pytest.mark.parametrize("dense_members", [False, True])
+def test_dense_keyed_paired_plan_matches_hash_keyed(rng, dense_members,
+                                                    monkeypatch):
     """The 6D paired plan with dense-grid c0 keys must equal the hash-keyed
-    build map-for-map (in-box clouds)."""
+    build map-for-map (in-box clouds) — in both member layouts (the
+    spatially-keyed dense_members layout replaces the group-id lookup + row
+    gather with one patch gather; edges must be identical)."""
     import jax
 
     from deepglobalregistration_tpu.models import unet_plan
 
+    monkeypatch.setattr(unet_plan, "DENSE_MEMBERS_6D", dense_members)
     n, cap = 150, 256
     c0 = np.unique(rng.randint(0, 14, size=(3 * n, 3)).astype(np.int32), axis=0)
     rng.shuffle(c0)

@@ -29,7 +29,8 @@ select_platform()
 import numpy as np
 import jax.numpy as jnp
 
-from deepglobalregistration_tpu.utils.profiling import summarize_trace, trace
+from deepglobalregistration_tpu.utils.profiling import (
+    attribute_trace, summarize_trace, trace)
 
 
 def main():
@@ -98,6 +99,10 @@ def main():
         print(f"top device ops for {name} (ms):")
         for op, ms in summarize_trace(log_dir, top=28).items():
             print(f"  {ms:9.2f}  {op}")
+        txt = jax.jit(fn).lower(*fa).compile().as_text()
+        print(f"per-line attribution for {name} (ms):")
+        for key, ms in attribute_trace(log_dir, txt, top=40).items():
+            print(f"  {ms:9.2f}  {key}")
         print(flush=True)
 
 

@@ -185,7 +185,15 @@ def main():
         sub["inlier_fwd"].append((p6, ifeat))
     jax.block_until_ready(sub["inlier_fwd"][-1][-1])
     print("sub-stage inputs ready", flush=True)
-    for name in ("fcgf_plan", "fcgf_fwd", "nn", "plan6d", "inlier_fwd"):
+    # inlier_fwd is OFF by default: compiling the standalone (batched) inlier
+    # forward consistently wedged the tunnel's compile service for 30+ min
+    # before dying with a remote_compile broken pipe (r5 logs
+    # /tmp/stage_budget*.log), torpedoing the whole run. Its cost is
+    # recoverable as match+6D - plan6d - nn from the stage table anyway.
+    names = ("fcgf_plan", "fcgf_fwd", "nn", "plan6d")
+    if "--inlier-fwd" in sys.argv:
+        names = names + ("inlier_fwd",)
+    for name in names:
         fn = {"fcgf_plan": fcgf_plan, "fcgf_fwd": fcgf_fwd, "nn": nn_only,
               "plan6d": plan6d, "inlier_fwd": inlier_fwd}[name]
         timed(fn, sub[name], name)
