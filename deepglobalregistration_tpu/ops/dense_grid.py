@@ -123,12 +123,14 @@ def dense_lookup_cols(table: DenseTable, extent: Tuple[int, int, int],
 
 
 # Use ONE lax.gather patch per output row (slice_sizes=(ks,ks,ks)) instead of
-# per-offset element/run gathers wherever the table was built with pad >=
-# ks//2. XLA's TPU gather cost is per-INDEX (~74-153 M idx/s at any table
-# size, tools/gather_law.py), so fetching a row's whole cube neighborhood
-# under one index is the fastest probe shape. Module switch so equivalence
-# tests can build both variants.
-PATCH_GATHER = True
+# per-offset element gathers wherever the table was built with pad >= ks//2.
+# MEASURED ON CHIP (tools/patch_gather_law.py, v5e): small multi-dim slice
+# gathers are ~70x WORSE per index than scalar gathers (patch333 1 M idx/s vs
+# scalar 71 M idx/s) — XLA lowers strided sub-lane slices with a serial
+# inner loop. Only CONTIGUOUS full-lane rows are fast (row128: 30 M idx/s at
+# 3.9 G elem/s). Default OFF; kept for the equivalence tests and as a record
+# of the measured negative result.
+PATCH_GATHER = False
 
 
 def _gather_patch(table: DenseTable, extent: Tuple[int, int, int],
